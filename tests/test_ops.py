@@ -1,0 +1,179 @@
+"""Op-level parity vs torch semantics (the reference's ground truth)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from zerovox_tpu.ops import (bucketize, conv1d, conv_transpose1d,
+                             durations_from_log, instance_norm, layer_norm,
+                             leaky_relu, length_regulate, linear,
+                             multi_head_attention)
+
+
+@pytest.mark.parametrize("stride,padding,dilation", [
+    (1, 0, 1), (1, 1, 1), (1, 4, 1), (2, 1, 1), (1, 2, 2), (1, 5, 5),
+])
+def test_conv1d_vs_torch(rng, stride, padding, dilation):
+    B, T, Cin, Cout, K = 2, 20, 6, 10, 3
+    x = rng.normal(size=(B, T, Cin)).astype(np.float32)
+    w = rng.normal(size=(K, Cin, Cout)).astype(np.float32)
+    b = rng.normal(size=(Cout,)).astype(np.float32)
+
+    got = conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                 stride=stride, padding=padding, dilation=dilation)
+
+    tx = torch.from_numpy(x).permute(0, 2, 1)            # (B, Cin, T)
+    tw = torch.from_numpy(np.ascontiguousarray(w.transpose(2, 1, 0)))
+    ref = F.conv1d(tx, tw, torch.from_numpy(b), stride=stride,
+                   padding=padding, dilation=dilation).permute(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride,K", [(5, 10), (4, 8), (3, 6), (2, 4)])
+def test_conv_transpose1d_vs_torch(rng, stride, K):
+    """The HiFi-GAN upsample geometry: pad = s//2 + s%2, outpad = s%2."""
+    B, T, Cin, Cout = 2, 12, 6, 4
+    padding = stride // 2 + stride % 2
+    output_padding = stride % 2
+    x = rng.normal(size=(B, T, Cin)).astype(np.float32)
+    wt = rng.normal(size=(Cin, Cout, K)).astype(np.float32)  # torch layout
+    b = rng.normal(size=(Cout,)).astype(np.float32)
+
+    # flipped correlation layout (what the reference GGUF stores)
+    w_flipped = np.ascontiguousarray(wt[:, :, ::-1].transpose(2, 0, 1))
+    got = conv_transpose1d(jnp.asarray(x), jnp.asarray(w_flipped), jnp.asarray(b),
+                           stride=stride, padding=padding,
+                           output_padding=output_padding)
+
+    ref = F.conv_transpose1d(torch.from_numpy(x).permute(0, 2, 1),
+                             torch.from_numpy(wt), torch.from_numpy(b),
+                             stride=stride, padding=padding,
+                             output_padding=output_padding).permute(0, 2, 1)
+    assert got.shape == tuple(ref.shape)
+    assert got.shape[1] == T * stride
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_vs_torch(rng):
+    B, T, C = 2, 7, 12
+    x = rng.normal(size=(B, T, C)).astype(np.float32)
+    g = rng.normal(size=(C,)).astype(np.float32)
+    b = rng.normal(size=(C,)).astype(np.float32)
+    got = layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    ref = F.layer_norm(torch.from_numpy(x), (C,), torch.from_numpy(g),
+                       torch.from_numpy(b), eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_instance_norm_vs_torch(rng):
+    """Instance norm reduces the *time* axis — the reference's #1 parity trap
+    (SURVEY §7; utils/instnorm1d.py oracle)."""
+    B, T, C = 3, 11, 5
+    x = rng.normal(size=(B, T, C)).astype(np.float32)
+    g = rng.normal(size=(C,)).astype(np.float32)
+    b = rng.normal(size=(C,)).astype(np.float32)
+    got = instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    inorm = torch.nn.InstanceNorm1d(C, affine=True)
+    with torch.no_grad():
+        inorm.weight.copy_(torch.from_numpy(g))
+        inorm.bias.copy_(torch.from_numpy(b))
+    ref = inorm(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_bucketize_matches_reference_custom_op():
+    """Mirror of ggml_zv_mul_clamp_to_i32 (/root/reference/src/fs2encoder.cpp:442-474)."""
+    n_bins = 16
+    x = np.array([-1.0, -0.01, 0.0, 0.031, 0.033, 0.5, 0.99, 1.0, 2.0],
+                 dtype=np.float32)
+    got = np.asarray(bucketize(jnp.asarray(x), n_bins))
+
+    bin_max = n_bins - 1
+    expected = []
+    for v in x:
+        y = int(v * bin_max + 0.5)   # C truncation toward zero
+        expected.append(min(max(y, 0), bin_max))
+    np.testing.assert_array_equal(got, np.array(expected, dtype=np.int32))
+
+
+def _reference_length_regulator(features, log_dur, num_phonemes, max_seq_len):
+    """Literal numpy port of the C host loop (/root/reference/src/fs2encoder.cpp:611-655)."""
+    P, C = features.shape
+    x = np.zeros((max_seq_len, C), dtype=np.float32)
+    xoff = 0
+    for i in range(num_phonemes):
+        dur = np.exp(log_dur[i]) - 1.0
+        d = int(dur + 0.5)
+        if d < 0:
+            continue
+        for _ in range(d):
+            x[xoff] = features[i]
+            xoff += 1
+            if xoff >= max_seq_len:
+                break
+        if xoff >= max_seq_len:
+            break
+    return x, xoff
+
+
+@pytest.mark.parametrize("seed,max_seq_len", [(0, 40), (1, 40), (2, 13), (3, 200)])
+def test_length_regulator_matches_reference_loop(seed, max_seq_len):
+    rng = np.random.default_rng(seed)
+    P, C = 12, 5
+    features = rng.normal(size=(P, C)).astype(np.float32)
+    log_dur = rng.normal(loc=1.0, scale=1.0, size=(P,)).astype(np.float32)
+    num_phonemes = 9
+
+    ref, ref_len = _reference_length_regulator(features, log_dur,
+                                               num_phonemes, max_seq_len)
+
+    d = durations_from_log(jnp.asarray(log_dur), max_seq_len)
+    got, got_len = length_regulate(jnp.asarray(features)[None], d[None],
+                                   max_seq_len, num_phonemes=num_phonemes)
+    assert int(got_len[0]) == ref_len
+    np.testing.assert_allclose(np.asarray(got[0]), ref, atol=1e-6)
+
+
+def test_length_regulator_overflow_saturates():
+    """exp overflow must saturate (not wrap) before the int cast."""
+    d = durations_from_log(jnp.asarray([100.0, -100.0, 0.0]), 64)
+    np.testing.assert_array_equal(np.asarray(d), [64, 0, 0])
+
+
+def test_mha_vs_torch(rng):
+    import math
+    B, T, C, H = 2, 9, 16, 4
+    x = rng.normal(size=(B, T, C)).astype(np.float32)
+    p = {}
+    tw = {}
+    for k in ("wq", "wk", "wv", "wo"):
+        w = rng.normal(size=(C, C)).astype(np.float32) * 0.3
+        b = rng.normal(size=(C,)).astype(np.float32) * 0.1
+        p[k] = jnp.asarray(w)
+        p["b" + k[1]] = jnp.asarray(b)
+        tw[k] = (torch.from_numpy(w), torch.from_numpy(b))
+    g = rng.normal(size=(C,)).astype(np.float32)
+    be = rng.normal(size=(C,)).astype(np.float32)
+    p["ln_g"], p["ln_b"] = jnp.asarray(g), jnp.asarray(be)
+
+    got = multi_head_attention(jnp.asarray(x), p, n_head=H)
+
+    xt = torch.from_numpy(x)
+    d_k = C // H
+    q = (xt @ tw["wq"][0] + tw["wq"][1]).view(B, T, H, d_k).permute(0, 2, 1, 3)
+    k_ = (xt @ tw["wk"][0] + tw["wk"][1]).view(B, T, H, d_k).permute(0, 2, 1, 3)
+    v = (xt @ tw["wv"][0] + tw["wv"][1]).view(B, T, H, d_k).permute(0, 2, 1, 3)
+    attn = torch.softmax(q @ k_.transpose(-1, -2) / math.sqrt(d_k), dim=-1)
+    o = (attn @ v).permute(0, 2, 1, 3).reshape(B, T, C)
+    o = o @ tw["wo"][0] + tw["wo"][1]
+    ref = F.layer_norm(o + xt, (C,), torch.from_numpy(g), torch.from_numpy(be))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_leaky_relu():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(leaky_relu(x, 0.2)),
+                               [-0.4, -0.1, 0.0, 1.0], atol=1e-7)

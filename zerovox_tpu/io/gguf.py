@@ -1,0 +1,386 @@
+"""GGUF container reader / writer (pure Python, numpy-backed).
+
+TPU-native replacement for the reference's vendored C implementation
+(/root/reference/ggml/src/ggml.c:6448-7694: gguf_context, gguf_init_from_file,
+gguf writer).  Same on-disk format: little-endian header (magic "GGUF",
+version), typed key/value metadata, named tensor directory, aligned data blob.
+
+The reader memory-maps the file and returns zero-copy numpy views; the writer
+produces files readable by the reference binary and by the upstream `gguf`
+python package.  A faster C++ parse path lives in zerovox_tpu.io.native and
+falls back to this module.
+"""
+
+from __future__ import annotations
+
+import enum
+import mmap
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+GGUF_VERSION = 3
+GGUF_DEFAULT_ALIGNMENT = 32
+
+
+class GGMLType(enum.IntEnum):
+    """ggml tensor dtypes (ggml/include/ggml.h enum ggml_type)."""
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
+    Q8_0 = 8
+    Q8_1 = 9
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
+    Q8_K = 15
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    BF16 = 30
+
+
+# (block_size_elems, bytes_per_block) for each supported type.
+_TYPE_TRAITS: Dict[int, Tuple[int, int]] = {
+    GGMLType.F32: (1, 4),
+    GGMLType.F16: (1, 2),
+    GGMLType.BF16: (1, 2),
+    GGMLType.F64: (1, 8),
+    GGMLType.I8: (1, 1),
+    GGMLType.I16: (1, 2),
+    GGMLType.I32: (1, 4),
+    GGMLType.I64: (1, 8),
+    GGMLType.Q4_0: (32, 18),
+    GGMLType.Q4_1: (32, 20),
+    GGMLType.Q5_0: (32, 22),
+    GGMLType.Q5_1: (32, 24),
+    GGMLType.Q8_0: (32, 34),
+}
+
+_NUMPY_DTYPES: Dict[int, np.dtype] = {
+    GGMLType.F32: np.dtype(np.float32),
+    GGMLType.F16: np.dtype(np.float16),
+    GGMLType.F64: np.dtype(np.float64),
+    GGMLType.I8: np.dtype(np.int8),
+    GGMLType.I16: np.dtype(np.int16),
+    GGMLType.I32: np.dtype(np.int32),
+    GGMLType.I64: np.dtype(np.int64),
+    # BF16 handled specially (viewed as uint16, widened on demand).
+}
+
+_NP_TO_GGML = {
+    np.dtype(np.float32): GGMLType.F32,
+    np.dtype(np.float16): GGMLType.F16,
+    np.dtype(np.float64): GGMLType.F64,
+    np.dtype(np.int8): GGMLType.I8,
+    np.dtype(np.int16): GGMLType.I16,
+    np.dtype(np.int32): GGMLType.I32,
+    np.dtype(np.int64): GGMLType.I64,
+}
+
+
+class GGUFValueType(enum.IntEnum):
+    """GGUF metadata value types (gguf_type in ggml.h)."""
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+_SCALAR_FMT = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.BOOL: "<?",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+
+def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
+    """Widen a uint16 bfloat16 view to float32."""
+    return (raw_u16.astype(np.uint32) << 16).view(np.float32)
+
+
+def f32_to_bf16_u16(x: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even cast of float32 to a uint16 bfloat16 view."""
+    u = np.asarray(x, dtype=np.float32).view(np.uint32)
+    rounding = 0x7FFF + ((u >> 16) & 1)
+    return ((u + rounding) >> 16).astype(np.uint16)
+
+
+@dataclass
+class GGUFTensorInfo:
+    name: str
+    shape: Tuple[int, ...]         # numpy-order shape (outermost first)
+    ggml_type: GGMLType
+    offset: int                    # relative to start of data section
+
+    @property
+    def ne(self) -> Tuple[int, ...]:
+        """ggml ne order: innermost dimension first."""
+        return tuple(reversed(self.shape))
+
+    @property
+    def nelements(self) -> int:
+        n = 1
+        for d in self.shape:
+            n *= d
+        return n
+
+    @property
+    def nbytes(self) -> int:
+        bs, tb = _TYPE_TRAITS[self.ggml_type]
+        if self.nelements % bs != 0:
+            raise ValueError(f"{self.name}: {self.nelements} elems not divisible by "
+                             f"block size {bs} of {self.ggml_type.name}")
+        return (self.nelements // bs) * tb
+
+
+class _Cursor:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated GGUF file")
+        self.pos += n
+        return b
+
+    def unpack(self, fmt: str):
+        (v,) = struct.unpack(fmt, self.read(struct.calcsize(fmt)))
+        return v
+
+    def read_string(self) -> str:
+        n = self.unpack("<Q")
+        return self.read(n).decode("utf-8")
+
+
+def _read_value(cur: _Cursor, vtype: int) -> Any:
+    vtype = GGUFValueType(vtype)
+    if vtype == GGUFValueType.STRING:
+        return cur.read_string()
+    if vtype == GGUFValueType.ARRAY:
+        elem_type = cur.unpack("<i")
+        count = cur.unpack("<Q")
+        return [_read_value(cur, elem_type) for _ in range(count)]
+    return cur.unpack(_SCALAR_FMT[vtype])
+
+
+class GGUFReader:
+    """Parse a GGUF file; tensors are zero-copy mmap-backed numpy views."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._file = open(path, "rb")
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        cur = _Cursor(self._mm)
+
+        magic = cur.unpack("<I")
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"{path}: bad GGUF magic {magic:#x}")
+        self.version = cur.unpack("<I")
+        if self.version not in (2, 3):
+            raise ValueError(f"{path}: unsupported GGUF version {self.version}")
+        n_tensors = cur.unpack("<q")
+        n_kv = cur.unpack("<q")
+
+        self.kv: Dict[str, Any] = {}
+        for _ in range(n_kv):
+            key = cur.read_string()
+            vtype = cur.unpack("<i")
+            self.kv[key] = _read_value(cur, vtype)
+
+        self.tensors: Dict[str, GGUFTensorInfo] = {}
+        self._order: List[str] = []
+        for _ in range(n_tensors):
+            name = cur.read_string()
+            n_dims = cur.unpack("<I")
+            ne = [cur.unpack("<Q") for _ in range(n_dims)]
+            ggml_type = GGMLType(cur.unpack("<i"))
+            offset = cur.unpack("<Q")
+            info = GGUFTensorInfo(name=name, shape=tuple(reversed(ne)),
+                                  ggml_type=ggml_type, offset=offset)
+            self.tensors[name] = info
+            self._order.append(name)
+
+        self.alignment = int(self.kv.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        pad = (self.alignment - cur.pos % self.alignment) % self.alignment
+        self.data_offset = cur.pos + pad
+
+    # ------------------------------------------------------------------ access
+    def tensor_names(self) -> List[str]:
+        return list(self._order)
+
+    def get_raw(self, name: str) -> np.ndarray:
+        """Raw bytes of a tensor (uint8 view) — works for every ggml type."""
+        info = self.tensors[name]
+        start = self.data_offset + info.offset
+        return np.frombuffer(self._mm, dtype=np.uint8, count=info.nbytes, offset=start)
+
+    def get(self, name: str, as_float32: bool = False) -> np.ndarray:
+        """Tensor as a numpy array in numpy-order shape.
+
+        F32/F16/int types are zero-copy views; BF16 is widened to f32;
+        quantized types raise (use get_raw + a dequantizer).
+        """
+        info = self.tensors[name]
+        raw = self.get_raw(name)
+        if info.ggml_type == GGMLType.BF16:
+            arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
+        elif info.ggml_type in _NUMPY_DTYPES:
+            arr = raw.view(_NUMPY_DTYPES[info.ggml_type]).reshape(info.shape)
+        else:
+            raise NotImplementedError(
+                f"{name}: quantized type {info.ggml_type.name}; use get_raw()")
+        if as_float32 and arr.dtype != np.float32:
+            arr = arr.astype(np.float32)
+        return arr
+
+    def load_all(self, as_float32: bool = True, copy: bool = True
+                 ) -> Dict[str, np.ndarray]:
+        """All tensors as a dict.  copy=True (default) detaches the arrays
+        from the mmap so the reader can be closed."""
+        out = {}
+        for n in self._order:
+            a = self.get(n, as_float32=as_float32)
+            out[n] = np.array(a, copy=True) if copy and a.base is not None else a
+        return out
+
+    def close(self):
+        self._mm.close()
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _write_string(f, s: str):
+    b = s.encode("utf-8")
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _infer_vtype(v: Any) -> GGUFValueType:
+    if isinstance(v, bool):
+        return GGUFValueType.BOOL
+    if isinstance(v, int):
+        if v < 0:
+            return GGUFValueType.INT32 if -(2**31) <= v else GGUFValueType.INT64
+        return GGUFValueType.UINT32 if v < 2**32 else GGUFValueType.UINT64
+    if isinstance(v, float):
+        return GGUFValueType.FLOAT32
+    if isinstance(v, str):
+        return GGUFValueType.STRING
+    if isinstance(v, (list, tuple)):
+        return GGUFValueType.ARRAY
+    raise TypeError(f"cannot map {type(v)} to a GGUF value type")
+
+
+def _write_value(f, v: Any, vtype: Optional[GGUFValueType] = None, nested: bool = False):
+    vtype = vtype or _infer_vtype(v)
+    if not nested:
+        f.write(struct.pack("<i", int(vtype)))
+    if vtype == GGUFValueType.STRING:
+        _write_string(f, v)
+    elif vtype == GGUFValueType.ARRAY:
+        if len(v) == 0:
+            elem_t = GGUFValueType.UINT32
+        else:
+            elem_t = _infer_vtype(v[0])
+        f.write(struct.pack("<i", int(elem_t)))
+        f.write(struct.pack("<Q", len(v)))
+        for item in v:
+            _write_value(f, item, elem_t, nested=True)
+    else:
+        f.write(struct.pack(_SCALAR_FMT[vtype], v))
+
+
+class GGUFWriter:
+    """Write a GGUF v3 file: add_kv / add_tensor, then write(path)."""
+
+    def __init__(self, arch: Optional[str] = None):
+        self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
+        self.tensor_data: List[Tuple[GGUFTensorInfo, bytes]] = []
+        self.alignment = GGUF_DEFAULT_ALIGNMENT
+        if arch is not None:
+            self.add_kv("general.architecture", arch)
+
+    def add_kv(self, key: str, value: Any, vtype: Optional[GGUFValueType] = None):
+        self.kv.append((key, value, vtype))
+
+    def add_uint32(self, key: str, value: int):
+        self.add_kv(key, int(value), GGUFValueType.UINT32)
+
+    def add_tensor(self, name: str, array: np.ndarray,
+                   ggml_type: Optional[GGMLType] = None):
+        array = np.ascontiguousarray(array)
+        if ggml_type is None:
+            ggml_type = _NP_TO_GGML[array.dtype]
+        if ggml_type == GGMLType.BF16 and array.dtype != np.uint16:
+            data = f32_to_bf16_u16(array).tobytes()
+        else:
+            data = array.tobytes()
+        info = GGUFTensorInfo(name=name, shape=array.shape,
+                              ggml_type=GGMLType(ggml_type), offset=0)
+        self.tensor_data.append((info, data))
+
+    def write(self, path: str):
+        # assign aligned offsets
+        offset = 0
+        for info, data in self.tensor_data:
+            info.offset = offset
+            offset += len(data)
+            offset += (self.alignment - offset % self.alignment) % self.alignment
+
+        with open(path, "wb") as f:
+            f.write(struct.pack("<I", GGUF_MAGIC))
+            f.write(struct.pack("<I", GGUF_VERSION))
+            f.write(struct.pack("<q", len(self.tensor_data)))
+            f.write(struct.pack("<q", len(self.kv)))
+            for key, value, vtype in self.kv:
+                _write_string(f, key)
+                _write_value(f, value, vtype)
+            for info, _ in self.tensor_data:
+                _write_string(f, info.name)
+                ne = info.ne
+                f.write(struct.pack("<I", len(ne)))
+                for d in ne:
+                    f.write(struct.pack("<Q", d))
+                f.write(struct.pack("<i", int(info.ggml_type)))
+                f.write(struct.pack("<Q", info.offset))
+            pad = (self.alignment - f.tell() % self.alignment) % self.alignment
+            f.write(b"\x00" * pad)
+            data_start = f.tell()
+            for info, data in self.tensor_data:
+                f.seek(data_start + info.offset)
+                f.write(data)

@@ -1,0 +1,63 @@
+"""HiFi-GAN vocoder (TPU-native) — the hot graph (~90% of pipeline FLOPs).
+
+Reference: /root/reference/src/hifigan.cpp — mel normalisation (:242-243),
+input conv k=7, four [leaky(0.1) -> ConvTranspose1d -> multi-receptive-field
+resblock sum / n] stages (:269-316), leaky(0.01) -> output conv -> tanh
+(:318-345).  The reference hand-rolls the transposed conv with zero-stuffing
+views (:22-71); here it is a single lhs-dilated XLA conv (see
+zerovox_tpu.ops.conv.conv_transpose1d) feeding the MXU directly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ZeroVoxConfig
+from ..ops import conv1d, conv_transpose1d, leaky_relu
+
+
+def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int) -> jnp.ndarray:
+    """Multi-dilation residual block (/root/reference/src/hifigan.cpp:74-185):
+    per dilation d: x += conv1(leaky(x), dil=d) |> leaky |> conv2(dil=1)."""
+    for d_idx, dilation in enumerate(dilations):
+        c1 = p["convs1"][d_idx]
+        c2 = p["convs2"][d_idx]
+        xt = leaky_relu(x, 0.1)
+        xt = conv1d(xt, c1["w"], c1["b"],
+                    padding=(kernel_size - 1) // 2 * dilation, dilation=dilation)
+        xt = leaky_relu(xt, 0.1)
+        xt = conv1d(xt, c2["w"], c2["b"], padding=(kernel_size - 1) // 2)
+        x = x + xt
+    return x
+
+
+def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel (B, T, num_mels) -> waveform (B, T * hop_size)."""
+    voc = params["vocoder"]
+
+    # mel_x = (mel - mean) / scale   (src/hifigan.cpp:242-243)
+    x = (mel - voc["mean"]) / voc["scale"]
+
+    pad = (cfg.hifigan_kernel_size - 1) // 2
+    c = conv1d(x, voc["input_conv_w"], voc["input_conv_b"], padding=pad)
+
+    for i, scale in enumerate(cfg.upsample_scales):
+        c = leaky_relu(c, 0.1)
+        up = voc["upsamples"][i]
+        c = conv_transpose1d(
+            c, up["w"], up["b"],
+            stride=scale,
+            padding=scale // 2 + scale % 2,
+            output_padding=scale % 2)
+        acc = None
+        for j in range(cfg.num_resblocks):
+            blk = voc["blocks"][i * cfg.num_resblocks + j]
+            r = residual_block(c, blk, cfg.resblock_dilations[j],
+                               cfg.resblock_kernel_size)
+            acc = r if acc is None else acc + r
+        c = acc * (1.0 / cfg.num_resblocks)
+
+    c = leaky_relu(c, 0.01)
+    c = conv1d(c, voc["output_conv_w"], voc["output_conv_b"], padding=pad)
+    c = jnp.tanh(c)
+    return c[..., 0]
