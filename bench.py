@@ -1,0 +1,122 @@
+"""End-to-end benchmark: real-time factor of the full synthesis pipeline.
+
+Prints ONE JSON line:
+  {"metric": "rtf_wall_per_audio_sec", "value": <wall seconds per audio second>,
+   "unit": "s/s", "vs_baseline": <north-star 0.05 / value; >1 beats target>}
+
+The reference publishes no numbers (README is 3 lines, BASELINE.json
+"published": {}); the baseline is the driver-set north star: RTF < 0.05 wall
+per audio-second per TPU core (>20x realtime) at the production geometry
+(max_seq_len=1500 mel frames, hop 300 @ 24 kHz -> 18.75 s audio / utterance).
+
+RTF here is measured on the full static-shape computation (the reference also
+always processes the padded max_seq_len buffer, src/zerovox.cpp:369), so it is
+independent of weight values.  Default path is bf16 serving (TPU-native); pass
+--f32 for the parity-grade float32 path.
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f32", action="store_true", help="benchmark float32 parity path")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from zerovox_tpu.config import ZeroVoxConfig
+    from zerovox_tpu.models.pipeline import synthesize, cast_params
+    from zerovox_tpu.params import init_params
+
+    dtype_name = "float32" if args.f32 else "bfloat16"
+    cfg = ZeroVoxConfig(compute_dtype=dtype_name)
+    params = init_params(cfg, seed=0)
+    if not args.f32:
+        params = cast_params(params, jnp.bfloat16)
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, cfg.num_phonemes + 1,
+                                   size=(B, cfg.max_n_phonemes)), jnp.int32)
+    pun = jnp.asarray(rng.integers(0, cfg.num_puncts + 1,
+                                   size=(B, cfg.max_n_phonemes)), jnp.int32)
+    style = jnp.asarray(rng.normal(scale=0.1, size=(B, cfg.d_model)), jnp.float32)
+
+    # The axon tunnel's block_until_ready does not synchronize with device
+    # completion, and each host round-trip costs ~30 ms.  So: chain `iters`
+    # full pipeline runs on-device via lax.scan with a data-dependent carry
+    # (no CSE possible), force completion with a 4-byte scalar fetch, and
+    # amortize the single round-trip over the chain.
+    from jax import lax
+
+    K = args.iters
+
+    def chained(p, s, pu, se, k):
+        def body(carry, _):
+            se2 = se + carry * jnp.asarray(1e-6, se.dtype)
+            res = synthesize(p, cfg, s, pu, se2)
+            return res.wav.astype(jnp.float32).mean(), None
+        out, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), None, length=k)
+        return out
+
+    fn = jax.jit(partial(chained, k=K), static_argnames=())
+    one = jax.jit(partial(chained, k=1))
+
+    print(f"bench: devices={jax.devices()} dtype={dtype_name} "
+          f"B={B} T={cfg.max_seq_len} audio={cfg.audio_seconds:.2f}s/utt",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    float(one(params, src, pun, style))
+    float(fn(params, src, pun, style))
+    print(f"bench: compile+first-run {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        float(fn(params, src, pun, style))
+
+    # single-run wall (includes one tunnel round-trip) and K-chain wall
+    t_single = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(one(params, src, pun, style))
+        t_single.append(time.perf_counter() - t0)
+    t_chain = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(params, src, pun, style))
+        t_chain.append(time.perf_counter() - t0)
+
+    single = float(np.median(t_single))
+    chain = float(np.median(t_chain))
+    # device time per pipeline run, tunnel overhead removed
+    wall = (chain - single) / (K - 1)
+    audio = cfg.audio_seconds * B
+    rtf = wall / audio
+    print(f"bench: single(incl. round-trip) {single*1e3:.1f} ms, "
+          f"{K}-chain {chain*1e3:.1f} ms -> device wall/run {wall*1e3:.2f} ms",
+          file=sys.stderr)
+    print(f"bench: median wall {wall*1e3:.2f} ms for {audio:.2f} s audio "
+          f"-> RTF {rtf:.5f} ({1.0/rtf:.1f}x realtime)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rtf_wall_per_audio_sec",
+        "value": round(rtf, 6),
+        "unit": "s/s",
+        "vs_baseline": round(0.05 / rtf, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Training: losses, optax optimizer, sharded train step."""
+
+from .losses import tts_losses, stft_loss, masked_l1, masked_mse
+from .train import (TrainBatch, TrainState, make_optimizer, loss_fn,
+                    train_step, make_sharded_train_step)
+
+__all__ = ["tts_losses", "stft_loss", "masked_l1", "masked_mse",
+           "TrainBatch", "TrainState", "make_optimizer", "loss_fn",
+           "train_step", "make_sharded_train_step"]

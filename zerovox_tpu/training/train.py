@@ -1,0 +1,121 @@
+"""Sharded training step: teacher-forced FastSpeech2 + StyleTTS + HiFi-GAN.
+
+One pure train_step (loss -> grad -> optax update) jit-compiled over a
+(data, model) mesh: batch DP on "data", Megatron-style channel TP on "model"
+(see zerovox_tpu.parallel.sharding).  XLA inserts the psums over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ZeroVoxConfig
+from ..models import fs2_encoder, styletts_decoder, hifigan
+from ..ops import length_regulate
+from ..parallel.mesh import DATA_AXIS
+from ..parallel.sharding import param_partition_specs, replicated_specs
+from .losses import tts_losses
+
+
+class TrainBatch(NamedTuple):
+    src_seq: jnp.ndarray        # (B, P) int32
+    puncts: jnp.ndarray         # (B, P) int32
+    style_embed: jnp.ndarray    # (B, d_model)
+    num_phonemes: jnp.ndarray   # (B,) int32
+    durations: jnp.ndarray      # (B, P) int32 target frames (teacher forcing)
+    mel_target: jnp.ndarray     # (B, T, num_mels)
+    wav_target: jnp.ndarray     # (B, T*hop)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-2,
+                   clip_norm: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate, b1=0.9, b2=0.98, weight_decay=weight_decay),
+    )
+
+
+def loss_fn(params, cfg: ZeroVoxConfig, batch: TrainBatch,
+            use_stft: bool = True,
+            stft_resolutions=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    features, log_dur = fs2_encoder.encode(
+        params, cfg, batch.src_seq, batch.puncts, batch.style_embed)
+
+    # teacher forcing: expand with ground-truth durations
+    hidden, mel_len = length_regulate(features, batch.durations, cfg.max_seq_len,
+                                      num_phonemes=batch.num_phonemes)
+    mel = styletts_decoder.decode(params, cfg, hidden, batch.style_embed)
+
+    T = cfg.max_seq_len
+    frame = jnp.arange(T, dtype=jnp.int32)
+    mel_mask = frame[None, :] < mel_len[:, None]
+    pidx = jnp.arange(batch.src_seq.shape[1], dtype=jnp.int32)
+    phoneme_mask = pidx[None, :] < batch.num_phonemes[:, None]
+
+    wav_pred = wav_target = None
+    if use_stft:
+        wav_pred = hifigan.vocode(params, cfg, mel)
+        wav_target = batch.wav_target
+
+    losses = tts_losses(mel, batch.mel_target, mel_mask,
+                        log_dur, batch.durations, phoneme_mask,
+                        wav_pred, wav_target,
+                        stft_resolutions=stft_resolutions)
+    return losses["total"], losses
+
+
+def train_step(state: TrainState, batch: TrainBatch, cfg: ZeroVoxConfig,
+               optimizer: optax.GradientTransformation,
+               use_stft: bool = True, stft_resolutions=None
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, losses), grads = grad_fn(state.params, cfg, batch,
+                                 use_stft=use_stft,
+                                 stft_resolutions=stft_resolutions)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), losses
+
+
+def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
+                            optimizer: Optional[optax.GradientTransformation] = None,
+                            use_tp: bool = True, use_stft: bool = True,
+                            stft_resolutions=None):
+    """Build (init_state, jitted_step) with dp/tp shardings on `mesh`.
+
+    Returns (state, step_fn); state params/opt_state live sharded on the mesh,
+    batches are expected sharded on the data axis (parallel.shard_batch).
+    """
+    optimizer = optimizer or make_optimizer()
+    p_specs = (param_partition_specs(params, cfg) if use_tp
+               else replicated_specs(params))
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    params = jax.tree.map(lambda x, s: jax.device_put(x, sh(s)), params, p_specs)
+    opt_state = optimizer.init(params)
+    state = TrainState(params, opt_state,
+                       jax.device_put(jnp.zeros((), jnp.int32), sh(P())))
+
+    batch_sharding = jax.tree.map(lambda _: sh(P(DATA_AXIS)),
+                                  TrainBatch(*([0] * len(TrainBatch._fields))))
+
+    step = jax.jit(
+        partial(train_step, cfg=cfg, optimizer=optimizer, use_stft=use_stft,
+                stft_resolutions=stft_resolutions),
+        in_shardings=(None, batch_sharding),
+    )
+    return state, step
