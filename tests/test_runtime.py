@@ -1,0 +1,108 @@
+"""Engine (bucketing, trim, precision) + WAV I/O + CLI tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zerovox_tpu.config import TINY_CONFIG
+from zerovox_tpu.io.wav import write_wav, read_wav, float_to_pcm16
+from zerovox_tpu.models.pipeline import synthesize
+from zerovox_tpu.params import init_params, save_params
+from zerovox_tpu.runtime.engine import TTSEngine
+
+CFG = TINY_CONFIG
+
+
+def _inputs(rng, B=2):
+    src = rng.integers(0, CFG.num_phonemes + 1, size=(B, CFG.max_n_phonemes))
+    pun = rng.integers(0, CFG.num_puncts + 1, size=(B, CFG.max_n_phonemes))
+    style = rng.normal(scale=0.1, size=(B, CFG.d_model)).astype(np.float32)
+    return src, pun, style
+
+
+def test_engine_buckets():
+    params = init_params(CFG, seed=0)
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32))
+    assert e.mel_buckets == (16, 32, CFG.max_seq_len)
+    assert e.pick_bucket(10) == 16
+    assert e.pick_bucket(16) == 16
+    assert e.pick_bucket(17) == 32
+    assert e.pick_bucket(999999) == CFG.max_seq_len
+    assert e.group_by_bucket([5, 20, 60]) == {16: [0], 32: [1],
+                                              CFG.max_seq_len: [2]}
+
+
+def test_engine_matches_pipeline_untrimmed(rng):
+    """Bucketed dispatch at the max bucket must equal the one-shot pipeline."""
+    params = init_params(CFG, seed=0)
+    src, pun, style = _inputs(rng)
+    ref = synthesize(params, CFG, jnp.asarray(src), jnp.asarray(pun),
+                     jnp.asarray(style))
+
+    e = TTSEngine(params, CFG, mel_buckets=())   # only the max bucket
+    wavs, mel_len = e.synthesize(src, pun, style, trim=False)
+    np.testing.assert_array_equal(mel_len, np.asarray(ref.mel_len))
+    for i, w in enumerate(wavs):
+        np.testing.assert_allclose(w, np.asarray(ref.wav)[i], atol=1e-6)
+
+
+def test_engine_trims_to_mel_len(rng):
+    params = init_params(CFG, seed=0)
+    src, pun, style = _inputs(rng, B=1)
+    e = TTSEngine(params, CFG)
+    wavs, mel_len = e.synthesize(src, pun, style)
+    assert wavs[0].shape == (int(mel_len[0]) * CFG.hop_size,)
+
+
+def test_engine_bfloat16(rng):
+    params = init_params(CFG, seed=0)
+    src, pun, style = _inputs(rng, B=1)
+    e = TTSEngine(params, CFG, precision="bfloat16")
+    wavs, _ = e.synthesize(src, pun, style, trim=False)
+    assert np.isfinite(wavs[0]).all()
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wav = np.sin(np.linspace(0, 440 * 2 * np.pi, 24000)).astype(np.float32) * 0.7
+    path = str(tmp_path / "t.wav")
+    write_wav(path, wav, 24000)
+    got, rate = read_wav(path)
+    assert rate == 24000
+    np.testing.assert_allclose(got, wav, atol=1.0 / 32000)
+
+
+def test_pcm16_clamps():
+    x = np.array([-2.0, -1.0, 0.0, 1.0, 2.0], np.float32)
+    p = float_to_pcm16(x)
+    assert p[0] == -32767 and p[-1] == 32767 and p[2] == 0
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    """Drive the CLI as a subprocess: gguf in, wav out."""
+    model = str(tmp_path / "m.gguf")
+    save_params(model, init_params(CFG, seed=0), CFG)
+    utt = {
+        "phonemes": rng.integers(1, CFG.num_phonemes, size=10).tolist(),
+        "puncts": rng.integers(0, CFG.num_puncts, size=10).tolist(),
+        "style": rng.normal(scale=0.1, size=CFG.d_model).tolist(),
+    }
+    inp = tmp_path / "utt.json"
+    inp.write_text(json.dumps(utt))
+    out = str(tmp_path / "out.wav")
+
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from zerovox_tpu.cli import main; import sys; sys.exit(main())",
+         "--model", model, "--input", str(inp), "--output", out],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    wav, rate = read_wav(out)
+    assert rate == CFG.sampling_rate

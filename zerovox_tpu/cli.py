@@ -1,0 +1,143 @@
+"""Command-line interface: GGUF checkpoint -> WAV synthesis.
+
+The reference binary hardcodes everything — model filename
+(/root/reference/src/zerovox.cpp:16), input phonemes/style (:204-314), output
+name (:403) — and takes no arguments.  This CLI exposes the same pipeline with
+real flags, JSON input files, streaming mode, and timing output.
+
+Input JSON format (one utterance, arrays padded or not):
+  {"phonemes": [69, 26, ...], "puncts": [0, 1, ...], "style": [528 floats]}
+
+Usage:
+  python -m zerovox_tpu.cli --model model.gguf --input utt.json --output out.wav
+  python -m zerovox_tpu.cli --model model.gguf --demo --output out.wav
+  python -m zerovox_tpu.cli --model model.gguf --demo --stream --chunk-frames 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_utterance(path: str, cfg):
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise SystemExit(f"cannot read utterance file {path}: {e}")
+    for key in ("phonemes", "style"):
+        if key not in d:
+            raise SystemExit(f"{path}: missing required key {key!r} "
+                             "(need phonemes, style; optional puncts)")
+    P = cfg.max_n_phonemes
+    ph = np.asarray(d["phonemes"], dtype=np.int32)
+    pu = np.asarray(d.get("puncts", np.zeros_like(ph)), dtype=np.int32)
+    n = min(len(ph), P)
+    src = np.zeros((1, P), np.int32)
+    pun = np.zeros((1, P), np.int32)
+    src[0, :n] = ph[:n]
+    pun[0, :n] = pu[:n]
+    style = np.asarray(d["style"], dtype=np.float32).reshape(1, -1)
+    if style.shape[1] != cfg.d_model:
+        raise SystemExit(f"style embedding has {style.shape[1]} dims, "
+                         f"model wants {cfg.d_model}")
+    return src, pun, style, np.asarray([n], np.int32)
+
+
+def _demo_utterance(cfg, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    P = cfg.max_n_phonemes
+    src = rng.integers(1, cfg.num_phonemes + 1, size=(1, P)).astype(np.int32)
+    pun = rng.integers(0, cfg.num_puncts + 1, size=(1, P)).astype(np.int32)
+    style = rng.normal(scale=0.05, size=(1, cfg.d_model)).astype(np.float32)
+    return src, pun, style, np.asarray([P], np.int32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="zerovox_tpu",
+                                 description="TPU-native zerovox TTS")
+    ap.add_argument("--model", required=True, help="GGUF checkpoint path")
+    ap.add_argument("--input", help="utterance JSON (phonemes/puncts/style)")
+    ap.add_argument("--demo", action="store_true",
+                    help="synthesize a random demo utterance")
+    ap.add_argument("--output", default="out.wav", help="output WAV path")
+    ap.add_argument("--precision", choices=("float32", "bfloat16"),
+                    default="float32")
+    ap.add_argument("--stream", action="store_true",
+                    help="use the streaming chunked vocoder")
+    ap.add_argument("--chunk-frames", type=int, default=64)
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--buckets", default="256,512,1024",
+                    help="comma-separated mel-length buckets")
+    ap.add_argument("--no-trim", action="store_true",
+                    help="keep the full padded waveform (reference behavior)")
+    args = ap.parse_args(argv)
+
+    from zerovox_tpu.params import load_params
+    from zerovox_tpu.io.wav import write_wav
+
+    t0 = time.perf_counter()
+    try:
+        cfg, params = load_params(args.model)
+    except FileNotFoundError:
+        raise SystemExit(f"model checkpoint not found: {args.model}")
+    except (ValueError, EOFError, KeyError) as e:
+        raise SystemExit(f"cannot load {args.model}: {e}")
+    print(f"loaded {args.model} ({time.perf_counter()-t0:.2f}s): "
+          f"d_model={cfg.d_model} max_seq_len={cfg.max_seq_len} "
+          f"sr={cfg.sampling_rate}", file=sys.stderr)
+
+    if args.input:
+        utt = _load_utterance(args.input, cfg)
+    elif args.demo:
+        utt = _demo_utterance(cfg)
+    else:
+        ap.error("one of --input / --demo is required")
+    src, pun, style, n = utt
+
+    if args.stream:
+        from zerovox_tpu.models.streaming import StreamingSynthesizer
+        if args.precision == "bfloat16":
+            from zerovox_tpu.models.pipeline import cast_params
+            import jax.numpy as jnp
+            params = cast_params(params, jnp.bfloat16)
+            cfg = cfg.replace(compute_dtype="bfloat16")
+        s = StreamingSynthesizer(params, cfg, chunk_frames=args.chunk_frames,
+                                 overlap=args.overlap)
+        t0 = time.perf_counter()
+        chunks = []
+        for i, chunk in enumerate(s.stream(src, pun, style, n)):
+            if i == 0:
+                print(f"TTFA {1e3*(time.perf_counter()-t0):.1f} ms "
+                      f"(incl. compile on first call)", file=sys.stderr)
+            chunks.append(chunk)
+        wav = np.concatenate(chunks, axis=1)[0]
+    else:
+        from zerovox_tpu.runtime.engine import TTSEngine
+        buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+        engine = TTSEngine(params, cfg, mel_buckets=buckets,
+                           precision=args.precision)
+        t0 = time.perf_counter()
+        wavs, mel_len = engine.synthesize(src, pun, style, n,
+                                          trim=not args.no_trim)
+        print(f"synthesized {int(mel_len[0])} mel frames "
+              f"({time.perf_counter()-t0:.2f}s incl. compile)", file=sys.stderr)
+        wav = wavs[0]
+
+    if len(wav) == 0:
+        print("warning: predicted durations were all zero (untrained model?) "
+              "— output is empty; use --no-trim to keep the padded buffer",
+              file=sys.stderr)
+    write_wav(args.output, wav, cfg.sampling_rate)
+    print(f"wrote {args.output}: {len(wav)} samples "
+          f"({len(wav)/cfg.sampling_rate:.2f}s @ {cfg.sampling_rate} Hz)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""WAV file output (16-bit PCM, mono).
+
+Replaces the reference's libsndfile dependency
+(/root/reference/src/zerovox.cpp:337-391: SF_FORMAT_WAV | SF_FORMAT_PCM_16).
+Pure-Python RIFF writer; the C++ fast path in zerovox_tpu.io.native is used
+automatically when built.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def float_to_pcm16(x: np.ndarray) -> np.ndarray:
+    """Clamp to [-1, 1] and convert to int16 (libsndfile-compatible scaling)."""
+    x = np.clip(np.asarray(x, dtype=np.float32), -1.0, 1.0)
+    return (x * 32767.0).astype(np.int16)
+
+
+def write_wav(path: str, wav: np.ndarray, sampling_rate: int):
+    """Write a mono float waveform in [-1, 1] as 16-bit PCM WAV."""
+    wav = np.asarray(wav)
+    if wav.ndim == 2:
+        if wav.shape[0] != 1:
+            raise ValueError(f"expected mono waveform, got shape {wav.shape}")
+        wav = wav[0]
+    pcm = float_to_pcm16(wav)
+    data = pcm.tobytes()
+
+    with open(path, "wb") as f:
+        # RIFF header
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVE")
+        # fmt chunk (PCM, mono, 16-bit)
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                            sampling_rate * 2, 2, 16))
+        # data chunk
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def read_wav(path: str):
+    """Minimal RIFF reader (PCM16 mono) -> (float32 array in [-1,1], rate)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            body = f.read(size)
+            if cid == b"fmt ":
+                fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                if fmt != 1 or ch != 1 or bits != 16:
+                    raise ValueError(f"{path}: only PCM16 mono supported")
+            elif cid == b"data":
+                pcm = np.frombuffer(body, dtype=np.int16)
+                return pcm.astype(np.float32) / 32767.0, rate
+    raise ValueError(f"{path}: no data chunk")

@@ -76,7 +76,7 @@ def encode(params: dict, cfg: ZeroVoxConfig,
         x = fft_block(x, layer, cfg, mask=attn_mask)
 
     # style embedding broadcast add (src/fs2encoder.cpp:550-552)
-    features = x + style_embed[:, None, :]
+    features = x + style_embed[:, None, :].astype(x.dtype)
 
     log_duration = variance_predictor(features, enc["duration_predictor"], cfg)
 

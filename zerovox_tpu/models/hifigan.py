@@ -34,6 +34,7 @@ def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int) -> jnp.
 def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, num_mels) -> waveform (B, T * hop_size)."""
     voc = params["vocoder"]
+    mel = mel.astype(voc["input_conv_w"].dtype)
 
     # mel_x = (mel - mean) / scale   (src/hifigan.cpp:242-243)
     x = (mel - voc["mean"]) / voc["scale"]

@@ -71,6 +71,11 @@ def decode(params: dict, cfg: ZeroVoxConfig,
     dec = params["decoder"]
     eps = cfg.instance_norm_eps
 
+    # adopt the parameter dtype (f32 parity / bf16 serving)
+    dt = dec["to_out"]["conv_w"].dtype
+    hidden = hidden.astype(dt)
+    style_embed = style_embed.astype(dt)
+
     x = res_blk1d(hidden, dec["encode0"], cfg)
     x = res_blk1d(x, dec["encode1"], cfg)
 

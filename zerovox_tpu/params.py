@@ -272,6 +272,13 @@ def init_params(cfg: ZeroVoxConfig, seed: int = 0, dtype=jnp.float32) -> dict:
         leaf = path[-1]
         if name == "sinusoid_encoding_table":
             val = jnp.asarray(sinusoid_encoding_table(*shape), dtype=dtype)
+        elif path[:3] == ("encoder", "duration_predictor", "lin_b"):
+            # bias synthetic models toward ~2-3 frames/phoneme so random-weight
+            # demos and benches exercise a realistic length-regulator pattern
+            val = jnp.full(shape, 1.2, dtype=dtype)
+        elif path[:3] == ("encoder", "duration_predictor", "lin_w"):
+            # keep the random head small so the duration bias dominates
+            val = randn(shape, 0.1 / max(1.0, np.sqrt(shape[0])))
         elif leaf.endswith("_b") or leaf.startswith("b") or leaf in ("mean",):
             val = jnp.zeros(shape, dtype=dtype)
         elif leaf in ("ln_g", "ln1_g", "ln2_g", "norm_g", "norm1_g", "norm2_g", "scale"):
