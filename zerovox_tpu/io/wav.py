@@ -19,13 +19,18 @@ def float_to_pcm16(x: np.ndarray) -> np.ndarray:
     return (x * 32767.0).astype(np.int16)
 
 
-def write_wav(path: str, wav: np.ndarray, sampling_rate: int):
+def write_wav(path: str, wav: np.ndarray, sampling_rate: int,
+              use_native: bool = True):
     """Write a mono float waveform in [-1, 1] as 16-bit PCM WAV."""
     wav = np.asarray(wav)
     if wav.ndim == 2:
         if wav.shape[0] != 1:
             raise ValueError(f"expected mono waveform, got shape {wav.shape}")
         wav = wav[0]
+    if use_native:
+        from . import native
+        if native.write_wav_native(path, wav, sampling_rate):
+            return
     pcm = float_to_pcm16(wav)
     data = pcm.tobytes()
 

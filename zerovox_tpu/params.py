@@ -228,13 +228,24 @@ def params_to_arrays(params: dict, cfg: ZeroVoxConfig) -> Dict[str, np.ndarray]:
 
 
 def load_params(path: str, cfg: Optional[ZeroVoxConfig] = None,
-                dtype=jnp.float32):
-    """Load a GGUF checkpoint -> (config, params pytree)."""
+                dtype=jnp.float32, use_native: bool = True):
+    """Load a GGUF checkpoint -> (config, params pytree).
+
+    Metadata is parsed by the pure-Python reader; bulk tensor bytes go through
+    the native mmap loader (zerovox_tpu.io.native) when it is available.
+    """
     from .io.gguf import GGUFReader
+    from .io import native
     with GGUFReader(path) as r:
         if cfg is None:
             cfg = ZeroVoxConfig.from_gguf_kv(r.kv)
-        arrays = r.load_all(as_float32=True)
+        if use_native and native.available():
+            arrays = None
+        else:
+            arrays = r.load_all(as_float32=True)
+    if arrays is None:
+        with native.NativeGGUF(path) as ng:
+            arrays = ng.load_all(as_float32=True)
     return cfg, params_from_arrays(arrays, cfg, dtype=dtype)
 
 
