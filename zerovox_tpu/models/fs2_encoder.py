@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
 from ..ops import (bucketize, conv1d, layer_norm, linear, multi_head_attention)
+from ..utils.debug import tap
 
 
 def fft_block(x: jnp.ndarray, p: dict, cfg: ZeroVoxConfig,
@@ -74,6 +75,7 @@ def encode(params: dict, cfg: ZeroVoxConfig,
     attn_mask = phoneme_mask if cfg.use_attention_mask else None
     for layer in enc["layers"]:
         x = fft_block(x, layer, cfg, mask=attn_mask)
+    tap("encoder_output", x)
 
     # style embedding broadcast add (src/fs2encoder.cpp:550-552)
     features = x + style_embed[:, None, :].astype(x.dtype)
@@ -89,4 +91,6 @@ def encode(params: dict, cfg: ZeroVoxConfig,
     energy_emb = enc["energy_emb"][bucketize(energy, cfg.ve_n_bins)].astype(x.dtype)
     features = features + energy_emb
 
+    tap("features", features)
+    tap("log_duration", log_duration)
     return features, log_duration

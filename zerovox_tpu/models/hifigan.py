@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
 from ..ops import conv1d, conv_transpose1d, leaky_relu
+from ..utils.debug import tap
 
 
 def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int) -> jnp.ndarray:
@@ -61,4 +62,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     c = leaky_relu(c, 0.01)
     c = conv1d(c, voc["output_conv_w"], voc["output_conv_b"], padding=pad)
     c = jnp.tanh(c)
-    return c[..., 0]
+    # "dbg" mirrors the reference's permanent probe (src/hifigan.cpp:347)
+    tap("dbg", c)
+    return tap("wav", c[..., 0])

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
 from ..ops import conv1d, instance_norm, leaky_relu, linear
+from ..utils.debug import tap
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
@@ -92,4 +93,4 @@ def decode(params: dict, cfg: ZeroVoxConfig,
     x = adain_res_blk1d(x, style_embed, dec["decode4"], cfg)
 
     out = dec["to_out"]
-    return conv1d(x, out["conv_w"], out["conv_b"])
+    return tap("mel", conv1d(x, out["conv_w"], out["conv_b"]))

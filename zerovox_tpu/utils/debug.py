@@ -1,0 +1,69 @@
+"""Named-intermediate capture: the TPU-native tensor_dbg.
+
+The reference debugs numerics by copying intermediates into named graph
+outputs (`tensor_dbg`, /root/reference/src/utils.cpp:19-44) and printing
+value/sum summaries (`print_tensor`, :97-140); HiFiGAN permanently taps its
+pre-output activation as "dbg" (/root/reference/src/hifigan.cpp:347).
+
+Here models call tap(name, x) at probe points.  Taps are zero-cost no-ops
+unless a capture is active during *tracing*: capture_run() re-traces the
+function with a collection dict installed, making every tapped intermediate a
+real jit output.  print_tensor-style summaries come from summarize().
+"""
+
+from __future__ import annotations
+
+import contextvars
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import numpy as np
+
+_capture_ctx: contextvars.ContextVar = contextvars.ContextVar(
+    "zerovox_tap_capture", default=None)
+
+
+def tap(name: str, value):
+    """Register an intermediate under `name` if a capture is active.
+
+    Safe to call inside jitted code: the check happens at trace time.
+    Returns `value` unchanged so it can be used inline.
+    """
+    ctx = _capture_ctx.get()
+    if ctx is not None:
+        ctx[name] = value
+    return value
+
+
+def capture_run(fn: Callable, *args, jit: bool = True,
+                **kwargs) -> Tuple[Any, Dict[str, jax.Array]]:
+    """Run fn with taps enabled; returns (output, {name: array}).
+
+    The tapped dict becomes part of the jitted program's outputs, so this
+    works on TPU without host callbacks.
+    """
+    def wrapped(*a, **kw):
+        token = _capture_ctx.set({})
+        try:
+            out = fn(*a, **kw)
+            taps = dict(_capture_ctx.get())
+        finally:
+            _capture_ctx.reset(token)
+        return out, taps
+
+    runner = jax.jit(wrapped) if jit else wrapped
+    return runner(*args, **kwargs)
+
+
+def summarize(name: str, x) -> str:
+    """print_tensor-style one-line summary: shape, head values, sum."""
+    a = np.asarray(x, dtype=np.float64).reshape(-1)
+    head = ", ".join(f"{v:.5f}" for v in a[:3])
+    tail = ", ".join(f"{v:.5f}" for v in a[-3:]) if a.size > 3 else ""
+    return (f"{name} {list(np.shape(x))} = [{head} ... {tail}] "
+            f"sum: {a.sum():.6f}")
+
+
+def print_taps(taps: Dict[str, jax.Array]):
+    for name, value in taps.items():
+        print(summarize(name, value))
