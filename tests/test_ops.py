@@ -177,3 +177,22 @@ def test_leaky_relu():
     x = jnp.asarray([-2.0, -0.5, 0.0, 1.0])
     np.testing.assert_allclose(np.asarray(leaky_relu(x, 0.2)),
                                [-0.4, -0.1, 0.0, 1.0], atol=1e-7)
+
+
+@pytest.mark.parametrize("C,rho,dilation", [(8, 4, 1), (8, 4, 5), (4, 8, 3), (16, 2, 5)])
+def test_conv1d_folded_matches_conv1d(rng, C, rho, dilation):
+    """Lane-dense folded conv (ops.conv.conv1d_folded) is exact vs conv1d."""
+    from zerovox_tpu.ops.conv import conv1d_folded, fold, unfold
+    B, L, K = 2, 48, 3
+    pad = (K - 1) // 2 * dilation
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    w = rng.normal(size=(K, C, C)).astype(np.float32)
+    b = rng.normal(size=(C,)).astype(np.float32)
+
+    ref = conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                 padding=pad, dilation=dilation)
+    got = unfold(conv1d_folded(fold(jnp.asarray(x), rho), jnp.asarray(w),
+                               jnp.asarray(b), padding=pad, dilation=dilation,
+                               rho=rho), rho)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -14,20 +14,34 @@ import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
 from ..ops import conv1d, conv_transpose1d, leaky_relu
+from ..ops.conv import conv1d_folded, fold, unfold
 from ..utils.debug import tap
 
 
-def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int) -> jnp.ndarray:
+def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int,
+                   rho: int = 1) -> jnp.ndarray:
     """Multi-dilation residual block (/root/reference/src/hifigan.cpp:74-185):
-    per dilation d: x += conv1(leaky(x), dil=d) |> leaky |> conv2(dil=1)."""
+    per dilation d: x += conv1(leaky(x), dil=d) |> leaky |> conv2(dil=1).
+
+    With rho > 1 the input is in folded (B, L/rho, rho*C) layout and the convs
+    run as lane-dense block matmuls (see ops.conv.fold).
+    """
+    half_k = (kernel_size - 1) // 2
     for d_idx, dilation in enumerate(dilations):
         c1 = p["convs1"][d_idx]
         c2 = p["convs2"][d_idx]
         xt = leaky_relu(x, 0.1)
-        xt = conv1d(xt, c1["w"], c1["b"],
-                    padding=(kernel_size - 1) // 2 * dilation, dilation=dilation)
-        xt = leaky_relu(xt, 0.1)
-        xt = conv1d(xt, c2["w"], c2["b"], padding=(kernel_size - 1) // 2)
+        if rho > 1:
+            xt = conv1d_folded(xt, c1["w"], c1["b"],
+                               padding=half_k * dilation, dilation=dilation,
+                               rho=rho)
+            xt = leaky_relu(xt, 0.1)
+            xt = conv1d_folded(xt, c2["w"], c2["b"], padding=half_k, rho=rho)
+        else:
+            xt = conv1d(xt, c1["w"], c1["b"],
+                        padding=half_k * dilation, dilation=dilation)
+            xt = leaky_relu(xt, 0.1)
+            xt = conv1d(xt, c2["w"], c2["b"], padding=half_k)
         x = x + xt
     return x
 
@@ -51,13 +65,22 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             stride=scale,
             padding=scale // 2 + scale % 2,
             output_padding=scale % 2)
+        # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
+        C_stage = c.shape[-1]
+        rho = 128 // C_stage if (128 % C_stage == 0) else 1
+        if rho > 1 and c.shape[1] % rho != 0:
+            rho = 1
+        if rho > 1:
+            c = fold(c, rho)
         acc = None
         for j in range(cfg.num_resblocks):
             blk = voc["blocks"][i * cfg.num_resblocks + j]
             r = residual_block(c, blk, cfg.resblock_dilations[j],
-                               cfg.resblock_kernel_size)
+                               cfg.resblock_kernel_size, rho=rho)
             acc = r if acc is None else acc + r
         c = acc * (1.0 / cfg.num_resblocks)
+        if rho > 1:
+            c = unfold(c, rho)
 
     c = leaky_relu(c, 0.01)
     c = conv1d(c, voc["output_conv_w"], voc["output_conv_b"], padding=pad)
