@@ -76,3 +76,33 @@ def test_bf16_conversion_exact():
     x = np.array([1.0, -2.0, 0.5, 65280.0], dtype=np.float32)
     u = f32_to_bf16_u16(x)
     np.testing.assert_array_equal(bf16_to_f32(u), x)  # exactly representable
+
+
+def test_q8_0_roundtrip(tmp_path, rng):
+    """Q8_0 quantize -> write -> read -> dequantize within 1/127 relative."""
+    from zerovox_tpu.io.gguf import quantize_q8_0, dequantize_q8_0
+    x = rng.normal(size=(4, 64)).astype(np.float32)
+    raw = quantize_q8_0(x)
+    deq = dequantize_q8_0(np.frombuffer(raw, dtype=np.uint8), x.size).reshape(x.shape)
+    scale = np.abs(x).reshape(-1, 32).max(axis=1).repeat(32).reshape(x.shape)
+    np.testing.assert_allclose(deq, x, atol=(scale / 127.0 * 0.51 + 1e-8).max())
+
+    w = GGUFWriter()
+    w.add_tensor("q", x, ggml_type=GGMLType.Q8_0)
+    path = str(tmp_path / "q8.gguf")
+    w.write(path)
+    with GGUFReader(path) as r:
+        assert r.tensors["q"].ggml_type == GGMLType.Q8_0
+        np.testing.assert_allclose(r.get("q"), deq, atol=1e-7)
+
+
+def test_q4_0_dequant_known_values():
+    """Hand-built Q4_0 block: x_i = (nib_i - 8) * scale, low nibbles first."""
+    from zerovox_tpu.io.gguf import dequantize_q4_0
+    import struct
+    scale = 0.5
+    nibs = bytes([(9 | (7 << 4))] * 16)     # lo=9 -> +1, hi=7 -> -1
+    raw = np.frombuffer(struct.pack("<e", scale) + nibs, dtype=np.uint8)
+    out = dequantize_q4_0(raw, 32)
+    np.testing.assert_allclose(out[:16], 0.5)
+    np.testing.assert_allclose(out[16:], -0.5)

@@ -1,0 +1,83 @@
+"""Pallas fused MRF kernel: exactness vs the XLA folded path (interpret mode
+on CPU; the same kernel compiles on TPU — see docs/ARCHITECTURE.md)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from zerovox_tpu.config import TINY_CONFIG
+from zerovox_tpu.models.hifigan import residual_block
+from zerovox_tpu.ops.conv import fold
+from zerovox_tpu.ops.pallas.folded_mrf import (folded_mrf_stage, _stage_halo,
+                                               _conv_schedule)
+from zerovox_tpu.params import init_params
+
+CFG = TINY_CONFIG
+
+
+def _stage(params, stage, xf, rho):
+    blocks = [params["vocoder"]["blocks"][stage * CFG.num_resblocks + j]
+              for j in range(CFG.num_resblocks)]
+    acc = None
+    for j, blk in enumerate(blocks):
+        r = residual_block(xf, blk, CFG.resblock_dilations[j],
+                           CFG.resblock_kernel_size, rho=rho)
+        acc = r if acc is None else acc + r
+    return blocks, acc / CFG.num_resblocks
+
+
+@pytest.mark.parametrize("C,rho,L,t_blk", [(16, 8, 320, 16), (8, 16, 240, 8),
+                                           (16, 8, 320, 32)])
+def test_fused_mrf_matches_xla_folded(rng, C, rho, L, t_blk):
+    params = init_params(CFG, seed=0)
+    stage = {16: 0, 8: 1}[C]
+    x = jnp.asarray(rng.normal(size=(2, L, C)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, ref = _stage(params, stage, xf, rho)
+
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=t_blk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_halo_covers_schedules():
+    """The cumulative halo must dominate every conv chain's offset span."""
+    for rho in (2, 4, 8):
+        h = _stage_halo(CFG.resblock_dilations, CFG.resblock_kernel_size, rho)
+        per_rb = []
+        for dils in CFG.resblock_dilations:
+            tot = 0
+            for d in dils:
+                for dd in (d, 1):
+                    s = _conv_schedule(CFG.resblock_kernel_size, rho, dd)
+                    tot += max(-s[0], s[-1])
+            per_rb.append(tot)
+        assert h == max(per_rb)
+
+
+def test_tail_tile_zero_padded(rng):
+    """nblk not divisible by t_blk: padded tail must not corrupt output."""
+    params = init_params(CFG, seed=0)
+    C, rho = 16, 8
+    x = jnp.asarray(rng.normal(size=(1, 312, C)), jnp.float32)  # 39 blocks
+    xf = fold(x, rho)
+    blocks, ref = _stage(params, 0, xf, rho)
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_vocoder_backend_pallas_matches_folded(rng):
+    """End-to-end vocode() with vocoder_backend='pallas' vs 'folded'."""
+    from zerovox_tpu.models import hifigan
+    params = init_params(CFG, seed=0)
+    mel = jnp.asarray(rng.normal(size=(1, 32, CFG.num_mels)), jnp.float32)
+    ref = hifigan.vocode(params, CFG.replace(vocoder_backend="folded"), mel)
+    got = hifigan.vocode(params, CFG.replace(vocoder_backend="pallas"), mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    nat = hifigan.vocode(params, CFG.replace(vocoder_backend="native"), mel)
+    np.testing.assert_allclose(np.asarray(nat), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -65,6 +65,11 @@ class ZeroVoxConfig:
     # Reference MHA attends freely over padding (src/fs2encoder.cpp:103-110 has
     # no mask).  Keep that for bit parity; set True for the corrected behaviour.
     use_attention_mask: bool = False
+    # Small-channel vocoder-stage implementation:
+    #   "folded" — lane-dense XLA block-matmul path (default; see ops.conv.fold)
+    #   "pallas" — fused MRF kernel (ops.pallas.folded_mrf), one HBM round-trip
+    #   "native" — plain XLA convs (baseline / debugging)
+    vocoder_backend: str = "folded"
 
     # ------------------------------------------------------------------ derived
     @property

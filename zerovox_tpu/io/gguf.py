@@ -121,6 +121,43 @@ _SCALAR_FMT = {
 }
 
 
+def dequantize_q8_0(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q8_0: blocks of 32 elems = f16 scale + 32 int8 (ggml-quants semantics:
+    x = q * scale)."""
+    blocks = raw.reshape(-1, 34)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 2:].view(np.int8).astype(np.float32)
+    return (qs * scales).reshape(-1)[:nelements]
+
+
+def dequantize_q4_0(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q4_0: blocks of 32 elems = f16 scale + 16 bytes of nibbles
+    (x_i = (nib_i - 8) * scale; low nibbles are elements 0-15)."""
+    blocks = raw.reshape(-1, 18)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    nibs = blocks[:, 2:]
+    lo = (nibs & 0x0F).astype(np.int8) - 8
+    hi = (nibs >> 4).astype(np.int8) - 8
+    out = np.concatenate([lo, hi], axis=1).astype(np.float32) * scales
+    return out.reshape(-1)[:nelements]
+
+
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    """float32 -> Q8_0 raw bytes (round-to-nearest, amax scaling like ggml)."""
+    x = np.asarray(x, dtype=np.float32).reshape(-1)
+    if x.size % 32 != 0:
+        raise ValueError("Q8_0 requires a multiple of 32 elements")
+    groups = x.reshape(-1, 32)
+    amax = np.abs(groups).max(axis=1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.round(groups * inv[:, None]), -128, 127).astype(np.int8)
+    out = np.empty((groups.shape[0], 34), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
 def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
     """Widen a uint16 bfloat16 view to float32."""
     return (raw_u16.astype(np.uint32) << 16).view(np.float32)
@@ -254,6 +291,10 @@ class GGUFReader:
         raw = self.get_raw(name)
         if info.ggml_type == GGMLType.BF16:
             arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
+        elif info.ggml_type == GGMLType.Q8_0:
+            arr = dequantize_q8_0(raw, info.nelements).reshape(info.shape)
+        elif info.ggml_type == GGMLType.Q4_0:
+            arr = dequantize_q4_0(raw, info.nelements).reshape(info.shape)
         elif info.ggml_type in _NUMPY_DTYPES:
             arr = raw.view(_NUMPY_DTYPES[info.ggml_type]).reshape(info.shape)
         else:
@@ -348,6 +389,8 @@ class GGUFWriter:
             ggml_type = _NP_TO_GGML[array.dtype]
         if ggml_type == GGMLType.BF16 and array.dtype != np.uint16:
             data = f32_to_bf16_u16(array).tobytes()
+        elif ggml_type == GGMLType.Q8_0 and array.dtype != np.uint8:
+            data = quantize_q8_0(array).tobytes()
         else:
             data = array.tobytes()
         info = GGUFTensorInfo(name=name, shape=array.shape,

@@ -68,19 +68,26 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
         C_stage = c.shape[-1]
         rho = 128 // C_stage if (128 % C_stage == 0) else 1
-        if rho > 1 and c.shape[1] % rho != 0:
+        if cfg.vocoder_backend == "native" or (rho > 1 and c.shape[1] % rho != 0):
             rho = 1
-        if rho > 1:
-            c = fold(c, rho)
-        acc = None
-        for j in range(cfg.num_resblocks):
-            blk = voc["blocks"][i * cfg.num_resblocks + j]
-            r = residual_block(c, blk, cfg.resblock_dilations[j],
-                               cfg.resblock_kernel_size, rho=rho)
-            acc = r if acc is None else acc + r
-        c = acc * (1.0 / cfg.num_resblocks)
-        if rho > 1:
-            c = unfold(c, rho)
+        stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
+                        for j in range(cfg.num_resblocks)]
+        if rho > 1 and cfg.vocoder_backend == "pallas":
+            from ..ops.pallas.folded_mrf import folded_mrf_stage
+            c = unfold(folded_mrf_stage(
+                fold(c, rho), stage_blocks, cfg.resblock_dilations,
+                cfg.resblock_kernel_size, rho), rho)
+        else:
+            if rho > 1:
+                c = fold(c, rho)
+            acc = None
+            for j, blk in enumerate(stage_blocks):
+                r = residual_block(c, blk, cfg.resblock_dilations[j],
+                                   cfg.resblock_kernel_size, rho=rho)
+                acc = r if acc is None else acc + r
+            c = acc * (1.0 / cfg.num_resblocks)
+            if rho > 1:
+                c = unfold(c, rho)
 
     c = leaky_relu(c, 0.01)
     c = conv1d(c, voc["output_conv_w"], voc["output_conv_b"], padding=pad)

@@ -1,0 +1,200 @@
+"""Pallas kernel: fused multi-receptive-field stage on folded activations.
+
+The XLA folded path (ops.conv.conv1d_folded) already makes the small-channel
+HiFi-GAN stages lane-dense, but each of the 18 convs per stage still round-
+trips its activation through HBM.  This kernel fuses one *entire* MRF stage —
+three residual blocks, six convs each, leaky-relus, residual adds, and the
+final (r1+r2+r3)/3 — into a single pallas_call: each folded activation tile
+is DMA'd from HBM once (with halo), the whole chain runs in VMEM, and one
+tile is written back.
+
+Layout: folded (nblk, 128) activations (rho = 128/C time-steps per lane
+block, see ops.conv.fold).  Each conv is a sum over block offsets delta of
+dense (128, 128) MXU matmuls (the statically scattered W_delta of
+conv1d_folded); shifted reads are pltpu.roll's of the VMEM tile, with the
+halo sized to the stage's cumulative receptive field so wrap-around rows
+never reach the emitted region.
+
+Reference counterpart: the per-node CPU kernels + barrier loop of
+ggml_graph_compute (/root/reference/ggml/src/ggml-cpu/ggml-cpu.c:13568-13820)
+— here one fused kernel replaces ~40 graph nodes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..conv import _folded_weight_terms
+
+
+def _conv_schedule(k: int, rho: int, dilation: int) -> List[int]:
+    """Sorted block offsets (deltas) of one folded same-length conv."""
+    pad = (k - 1) // 2 * dilation
+    return [d for d, _ in _folded_weight_terms(k, rho, pad, dilation)]
+
+
+def _build_wdelta(w: jnp.ndarray, rho: int, dilation: int) -> jnp.ndarray:
+    """(n_delta, rho*C, rho*C) stacked folded weight matrices for one conv."""
+    k, C, _ = w.shape
+    pad = (k - 1) // 2 * dilation
+    terms = _folded_weight_terms(k, rho, pad, dilation)
+    mats = []
+    for _, lst in terms:
+        m = jnp.zeros((rho * C, rho * C), w.dtype)
+        for (r, i, j) in lst:
+            m = m.at[r * C:(r + 1) * C, i * C:(i + 1) * C].add(w[j])
+        mats.append(m)
+    return jnp.stack(mats)
+
+
+def _leaky(x, slope=0.1):
+    return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+
+
+def _stage_halo(dilation_sets: Sequence[Sequence[int]], k: int, rho: int) -> int:
+    """Cumulative per-side halo (in blocks) of the worst residual block."""
+    worst = 0
+    for dils in dilation_sets:
+        h = 0
+        for d in dils:
+            for dd in (d, 1):                      # convs1 (dilated) + convs2
+                sched = _conv_schedule(k, rho, dd)
+                h += max(-sched[0], sched[-1])
+        worst = max(worst, h)
+    return worst
+
+
+def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
+                schedules, halo, t_blk, inv_n, nblk):
+    """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile."""
+    t = pl.program_id(0)
+    window = t_blk + 2 * halo
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t * t_blk, window)], x_vmem, sem)
+    dma.start()
+    dma.wait()
+
+    # Every conv zero-pads *its own* input at the utterance boundary (torch /
+    # ggml semantics); inside the halo, bias-propagated values must therefore
+    # be masked back to zero for rows whose global block index is out of range.
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
+    g = t * t_blk + row - halo
+    in_range = jnp.logical_and(g >= 0, g < nblk)
+
+    def conv(xt, spec):
+        w_start, deltas = spec
+        xt = jnp.where(in_range, xt, jnp.zeros((), xt.dtype))
+        y = None
+        n_rows = xt.shape[0]
+        for di, delta in enumerate(deltas):
+            # roll requires a non-negative shift; -delta mod n_rows is exact
+            shifted = pltpu.roll(xt, (-delta) % n_rows, 0) if delta else xt
+            prod = jax.lax.dot_general(
+                shifted, w_ref[w_start + di].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = prod if y is None else y + prod
+        return y
+
+    # compute in f32: Mosaic's rotate requires 32-bit data, and the stage is
+    # bandwidth-bound so the extra MXU cost is immaterial
+    x = x_vmem[:].astype(jnp.float32)
+    acc = None
+    for rb_schedule in schedules:
+        h = x
+        for (c1_spec, c1_b, c2_spec, c2_b) in rb_schedule:
+            xt = _leaky(h)
+            xt = (conv(xt, c1_spec)
+                  + b_ref[c1_b].astype(jnp.float32)).astype(x.dtype)
+            xt = _leaky(xt)
+            xt = (conv(xt, c2_spec)
+                  + b_ref[c2_b].astype(jnp.float32)).astype(x.dtype)
+            h = h + xt
+        acc = h if acc is None else acc + h
+    o_ref[:] = ((acc * jnp.asarray(inv_n, acc.dtype))[halo:halo + t_blk]
+                .astype(o_ref.dtype))
+
+
+def folded_mrf_stage(xf: jnp.ndarray,
+                     blocks: Sequence[dict],
+                     dilation_sets: Sequence[Sequence[int]],
+                     kernel_size: int,
+                     rho: int,
+                     t_blk: int = 512,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Fused MRF stage on a folded activation.
+
+    xf: (B, nblk, 128); blocks: list of resblock param dicts
+    ({"convs1": [{"w","b"}..], "convs2": [...]}); dilation_sets[j] are the
+    convs1 dilations of resblock j.  Returns (B, nblk, 128):
+    sum_j resblock_j(xf) / len(blocks), matching the XLA folded path.
+    """
+    B, nblk, lanes = xf.shape
+    n_rb = len(blocks)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # ---- static schedules + stacked weights/biases --------------------
+    w_mats, b_vecs, schedules = [], [], []
+    for j, blk in enumerate(blocks):
+        rb_sched = []
+        for d_idx, dilation in enumerate(dilation_sets[j]):
+            specs = []
+            for cset, dd in (("convs1", dilation), ("convs2", 1)):
+                conv = blk[cset][d_idx]
+                mats = _build_wdelta(conv["w"], rho, dd)
+                deltas = _conv_schedule(kernel_size, rho, dd)
+                specs.append((len(w_mats), tuple(deltas)))
+                specs.append(len(b_vecs))
+                w_mats.extend(mats[i] for i in range(mats.shape[0]))
+                b_vecs.append(jnp.tile(conv["b"], rho))
+            rb_sched.append(tuple(specs))          # (c1_spec, c1_b, c2_spec, c2_b)
+        schedules.append(tuple(rb_sched))
+
+    w_all = jnp.stack(w_mats)                     # (n_w, 128, 128)
+    b_all = jnp.stack(b_vecs)                     # (n_b, 128)
+
+    halo = _stage_halo(dilation_sets, kernel_size, rho)
+    # round up to the dtype's sublane tile so DMA slices stay aligned
+    sublane = 16 if xf.dtype in (jnp.bfloat16, jnp.float16) else 8
+    halo = -(-halo // sublane) * sublane
+    n_tiles = -(-nblk // t_blk)
+    padded = n_tiles * t_blk
+
+    # zero-pad: halo left; halo + tile tail right
+    xpad = jnp.pad(xf, ((0, 0), (halo, halo + padded - nblk), (0, 0)))
+
+    kern = functools.partial(
+        _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
+        inv_n=1.0 / n_rb, nblk=nblk)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # biases, whole
+        ],
+        out_specs=pl.BlockSpec((t_blk, lanes), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, lanes), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_blk + 2 * halo, lanes), xf.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+    def one(xp):
+        return call(xp, w_all, b_all)
+
+    out = jax.vmap(one)(xpad)
+    return out[:, :nblk]
