@@ -26,12 +26,29 @@ import time
 import numpy as np
 
 
+def measure_ttfa(cfg, params, src, pun, style, chunk_frames=60, overlap=16,
+                 reps=5):
+    """p50 time-to-first-audio-chunk of the streaming path (post-warmup)."""
+    from zerovox_tpu.models.streaming import StreamingSynthesizer
+    s = StreamingSynthesizer(params, cfg, chunk_frames=chunk_frames,
+                             overlap=overlap)
+    s.warmup(batch=src.shape[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        next(s.stream(src, pun, style))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32", action="store_true", help="benchmark float32 parity path")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--ttfa", action="store_true",
+                    help="also measure streaming time-to-first-audio (stderr)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +126,12 @@ def main():
           file=sys.stderr)
     print(f"bench: median wall {wall*1e3:.2f} ms for {audio:.2f} s audio "
           f"-> RTF {rtf:.5f} ({1.0/rtf:.1f}x realtime)", file=sys.stderr)
+
+    if args.ttfa:
+        ttfa = measure_ttfa(cfg, params, src, pun, style)
+        print(f"bench: p50 TTFA {ttfa*1e3:.1f} ms "
+              f"(chunk 60 frames = 0.75 s audio; target < 100 ms; includes "
+              f"one tunnel round-trip ~30 ms)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "rtf_wall_per_audio_sec",

@@ -67,8 +67,14 @@ class ZeroVoxConfig:
     use_attention_mask: bool = False
     # Small-channel vocoder-stage implementation:
     #   "folded" — lane-dense XLA block-matmul path (default; see ops.conv.fold)
-    #   "pallas" — fused MRF kernel (ops.pallas.folded_mrf), one HBM round-trip
+    #   "pallas" — fused MRF kernel (ops.pallas.folded_mrf)
     #   "native" — plain XLA convs (baseline / debugging)
+    #   "auto"   — currently resolves to "folded" everywhere
+    # Measured v5e per-stage MRF: native 15.5 ms, folded 4.8 ms, pallas 2.35 ms
+    # (stage 4); pallas also wins stage 3 (1.9 vs 3.6 ms) but XLA inserts
+    # layout copies around the custom calls that erase the end-to-end gain
+    # (23.7 vs 23.0 ms full pipeline), so folded stays the default until the
+    # kernel consumes/produces unfolded layouts and double-buffers its DMA.
     vocoder_backend: str = "folded"
 
     # ------------------------------------------------------------------ derived

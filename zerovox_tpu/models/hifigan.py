@@ -68,11 +68,14 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
         C_stage = c.shape[-1]
         rho = 128 // C_stage if (128 % C_stage == 0) else 1
-        if cfg.vocoder_backend == "native" or (rho > 1 and c.shape[1] % rho != 0):
+        backend = cfg.vocoder_backend
+        if backend == "auto":
+            backend = "folded"
+        if backend == "native" or (rho > 1 and c.shape[1] % rho != 0):
             rho = 1
         stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
                         for j in range(cfg.num_resblocks)]
-        if rho > 1 and cfg.vocoder_backend == "pallas":
+        if rho > 1 and backend == "pallas":
             from ..ops.pallas.folded_mrf import folded_mrf_stage
             c = unfold(folded_mrf_stage(
                 fold(c, rho), stage_blocks, cfg.resblock_dilations,
