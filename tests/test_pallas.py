@@ -81,3 +81,19 @@ def test_vocoder_backend_pallas_matches_folded(rng):
     nat = hifigan.vocode(params, CFG.replace(vocoder_backend="native"), mel)
     np.testing.assert_allclose(np.asarray(nat), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_mrf_stage_unfolded_io(rng):
+    """Experimental unfolded-I/O kernel variant (interpret mode; Mosaic does
+    not yet accept its in-kernel reshape on hardware)."""
+    from zerovox_tpu.ops.pallas.folded_mrf import mrf_stage_unfolded
+    from zerovox_tpu.ops.conv import unfold
+    params = init_params(CFG, seed=0)
+    C, rho, L = 16, 8, 320
+    x = jnp.asarray(rng.normal(size=(1, L, C)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, ref = _stage(params, 0, xf, rho)
+    got = mrf_stage_unfolded(x, blocks, CFG.resblock_dilations,
+                             CFG.resblock_kernel_size, rho, t_blk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(unfold(ref, rho)),
+                               atol=2e-5, rtol=1e-4)

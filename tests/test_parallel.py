@@ -86,3 +86,23 @@ def test_sharded_train_step(rng, data, model):
     l0 = jax.tree.leaves(state.params)[0]
     l3 = jax.tree.leaves(state3.params)[0]
     assert not np.allclose(np.asarray(l0), np.asarray(l3))
+
+
+def test_pipeline_placement_matches_single_device(rng):
+    """Two-device stage placement (parallel.pipeline) must reproduce the
+    single-device pipeline output."""
+    from zerovox_tpu.parallel.pipeline import PipelinedTTS
+    params = init_params(CFG, seed=0)
+    src, pun, style = _batch_inputs(rng, B=2)
+    n = jnp.full((2,), CFG.max_n_phonemes, dtype=jnp.int32)
+
+    ref = synthesize(params, CFG, src, pun, style, num_phonemes=n)
+
+    pipe = PipelinedTTS(params, CFG)
+    assert pipe.front_device != pipe.back_device
+    out = pipe.run([(src, pun, style, n), (src, pun, style, n)])
+    assert len(out) == 2
+    for wav, mel_len in out:
+        np.testing.assert_array_equal(np.asarray(mel_len), np.asarray(ref.mel_len))
+        np.testing.assert_allclose(np.asarray(wav), np.asarray(ref.wav),
+                                   atol=2e-5, rtol=1e-4)

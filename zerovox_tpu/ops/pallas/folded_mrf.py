@@ -71,12 +71,18 @@ def _stage_halo(dilation_sets: Sequence[Sequence[int]], k: int, rho: int) -> int
 
 
 def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
-                schedules, halo, t_blk, inv_n, nblk):
-    """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile."""
+                schedules, halo, t_blk, inv_n, nblk, rho=1):
+    """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile.
+
+    With rho > 1 the HBM array is *unfolded* (rows are rho x smaller lane
+    blocks of C channels); the DMA fetches rho x the rows and the fold to
+    (window, rho*C) happens as an in-VMEM reshape, so XLA never materialises
+    a folded layout at the kernel boundary.
+    """
     t = pl.program_id(0)
     window = t_blk + 2 * halo
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(t * t_blk, window)], x_vmem, sem)
+        x_hbm.at[pl.ds(t * t_blk * rho, window * rho)], x_vmem, sem)
     dma.start()
     dma.wait()
 
@@ -104,7 +110,10 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
 
     # compute in f32: Mosaic's rotate requires 32-bit data, and the stage is
     # bandwidth-bound so the extra MXU cost is immaterial
-    x = x_vmem[:].astype(jnp.float32)
+    x = x_vmem[:]
+    if rho > 1:
+        x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
+    x = x.astype(jnp.float32)
     acc = None
     for rb_schedule in schedules:
         h = x
@@ -117,8 +126,10 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
                   + b_ref[c2_b].astype(jnp.float32)).astype(x.dtype)
             h = h + xt
         acc = h if acc is None else acc + h
-    o_ref[:] = ((acc * jnp.asarray(inv_n, acc.dtype))[halo:halo + t_blk]
-                .astype(o_ref.dtype))
+    out = (acc * jnp.asarray(inv_n, acc.dtype))[halo:halo + t_blk]
+    if rho > 1:
+        out = out.reshape(t_blk * rho, out.shape[-1] // rho)  # in-VMEM unfold
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def folded_mrf_stage(xf: jnp.ndarray,
@@ -198,3 +209,83 @@ def folded_mrf_stage(xf: jnp.ndarray,
 
     out = jax.vmap(one)(xpad)
     return out[:, :nblk]
+
+
+def mrf_stage_unfolded(x: jnp.ndarray,
+                       blocks: Sequence[dict],
+                       dilation_sets: Sequence[Sequence[int]],
+                       kernel_size: int,
+                       rho: int,
+                       t_blk: int = 512,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Fused MRF stage consuming/producing *unfolded* (B, L, C) activations.
+
+    Same math as folded_mrf_stage, but the fold/unfold happens as an in-VMEM
+    reshape inside the kernel, so XLA never inserts layout copies for a
+    folded array at the custom-call boundary.
+
+    EXPERIMENTAL: exact in interpret mode, but Mosaic currently rejects the
+    in-kernel sublane->lane reshape on real TPUs ("infer-vector-layout:
+    unsupported shape cast"); use folded_mrf_stage there.
+    """
+    B, L, C = x.shape
+    assert L % rho == 0
+    nblk = L // rho
+    n_rb = len(blocks)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    w_mats, b_vecs, schedules = [], [], []
+    for j, blk in enumerate(blocks):
+        rb_sched = []
+        for d_idx, dilation in enumerate(dilation_sets[j]):
+            specs = []
+            for cset, dd in (("convs1", dilation), ("convs2", 1)):
+                conv = blk[cset][d_idx]
+                mats = _build_wdelta(conv["w"], rho, dd)
+                deltas = _conv_schedule(kernel_size, rho, dd)
+                specs.append((len(w_mats), tuple(deltas)))
+                specs.append(len(b_vecs))
+                w_mats.extend(mats[i] for i in range(mats.shape[0]))
+                b_vecs.append(jnp.tile(conv["b"], rho))
+            rb_sched.append(tuple(specs))
+        schedules.append(tuple(rb_sched))
+    w_all = jnp.stack(w_mats)
+    b_all = jnp.stack(b_vecs)
+
+    halo = _stage_halo(dilation_sets, kernel_size, rho)
+    sublane = 16 if x.dtype in (jnp.bfloat16, jnp.float16) else 8
+    halo = -(-halo // sublane) * sublane
+    n_tiles = -(-nblk // t_blk)
+    padded = n_tiles * t_blk
+
+    xpad = jnp.pad(x, ((0, 0), (halo * rho, (halo + padded - nblk) * rho),
+                       (0, 0)))
+
+    kern = functools.partial(
+        _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
+        inv_n=1.0 / n_rb, nblk=nblk, rho=rho)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_blk * rho, C), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded * rho, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((t_blk + 2 * halo) * rho, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+    def one(xp):
+        return call(xp, w_all, b_all)
+
+    out = jax.vmap(one)(xpad)
+    return out[:, :L]

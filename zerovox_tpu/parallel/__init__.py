@@ -4,7 +4,8 @@ from .mesh import make_mesh, single_device_mesh, DATA_AXIS, MODEL_AXIS
 from .sharding import (param_partition_specs, replicated_specs, shard_params,
                        shard_batch, batch_specs)
 from .infer import make_sharded_synthesize
+from .pipeline import PipelinedTTS
 
 __all__ = ["make_mesh", "single_device_mesh", "DATA_AXIS", "MODEL_AXIS",
            "param_partition_specs", "replicated_specs", "shard_params",
-           "shard_batch", "batch_specs", "make_sharded_synthesize"]
+           "shard_batch", "batch_specs", "make_sharded_synthesize", "PipelinedTTS"]

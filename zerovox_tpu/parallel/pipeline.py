@@ -1,0 +1,84 @@
+"""Pipeline parallelism: encoder/decoder and vocoder on different devices.
+
+TPU-native replacement for ggml's dormant multi-backend graph splitter
+(ggml_backend_sched, /root/reference/ggml/src/ggml-backend.cpp:631-1660,
+SURVEY §2d mechanism 2): instead of splitting one cgraph across backends with
+staged input copies, the pipeline places the front (encoder + length
+regulator + decoder, ~5% of FLOPs) on one chip and the vocoder (~95%) on
+another, with the mel hopping devices over ICI.  JAX's async dispatch
+overlaps the stages across consecutive utterances: chip A computes utterance
+N+1's mel while chip B vocodes utterance N.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ZeroVoxConfig
+from ..models import fs2_encoder, styletts_decoder, hifigan
+from ..ops import durations_from_log, length_regulate
+
+
+class PipelinedTTS:
+    """Two-stage device pipeline over a sequence of utterance batches."""
+
+    def __init__(self, params, cfg: ZeroVoxConfig,
+                 front_device=None, back_device=None):
+        devices = jax.devices()
+        if len(devices) < 2 and (front_device is None or back_device is None):
+            raise ValueError("pipeline placement needs >= 2 devices")
+        self.front_device = front_device or devices[0]
+        self.back_device = back_device or devices[1]
+        self.cfg = cfg
+
+        # replicate weights per stage placement (front needs enc+dec, back voc)
+        front_params = {"encoder": params["encoder"], "decoder": params["decoder"]}
+        back_params = {"vocoder": params["vocoder"]}
+        self.front_params = jax.device_put(front_params, self.front_device)
+        self.back_params = jax.device_put(back_params, self.back_device)
+
+        cfg_ = cfg
+
+        @jax.jit
+        def front(p, src_seq, puncts, style_embed, num_phonemes):
+            features, log_dur = fs2_encoder.encode(
+                p, cfg_, src_seq, puncts, style_embed)
+            durations = durations_from_log(log_dur, cfg_.max_seq_len)
+            hidden, mel_len = length_regulate(
+                features, durations, cfg_.max_seq_len, num_phonemes=num_phonemes)
+            mel = styletts_decoder.decode(p, cfg_, hidden, style_embed)
+            return mel, mel_len
+
+        @jax.jit
+        def back(p, mel):
+            return hifigan.vocode(p, cfg_, mel)
+
+        self._front = front
+        self._back = back
+
+    def run(self, batches: Iterable[Tuple]) -> List[Tuple[jax.Array, jax.Array]]:
+        """Process [(src, puncts, style, num_phonemes), ...].
+
+        All front computations are dispatched eagerly (async) on the front
+        device; each mel is shipped to the back device for vocoding.  Returns
+        [(wav, mel_len), ...] in input order.
+        """
+        staged = []
+        for (src, pun, style, n) in batches:
+            src = jax.device_put(jnp.asarray(src, jnp.int32), self.front_device)
+            pun = jax.device_put(jnp.asarray(pun, jnp.int32), self.front_device)
+            style = jax.device_put(jnp.asarray(style, jnp.float32),
+                                   self.front_device)
+            n = jax.device_put(jnp.asarray(n, jnp.int32), self.front_device)
+            mel, mel_len = self._front(self.front_params, src, pun, style, n)
+            # mel hops front -> back over ICI; dispatch stays async
+            staged.append((jax.device_put(mel, self.back_device), mel_len))
+
+        out = []
+        for mel_b, mel_len in staged:
+            wav = self._back(self.back_params, mel_b)
+            out.append((wav, mel_len))
+        return out
