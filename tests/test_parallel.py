@@ -106,3 +106,20 @@ def test_pipeline_placement_matches_single_device(rng):
         np.testing.assert_array_equal(np.asarray(mel_len), np.asarray(ref.mel_len))
         np.testing.assert_allclose(np.asarray(wav), np.asarray(ref.wav),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_time_parallel_vocoder_exact(rng):
+    """Chunks fanned over 4 devices must reproduce the full vocoder run."""
+    from zerovox_tpu.models import hifigan
+    from zerovox_tpu.parallel.seq import TimeParallelVocoder
+    params = init_params(CFG, seed=0)
+    mel = jnp.asarray(rng.normal(size=(1, CFG.max_seq_len, CFG.num_mels)),
+                      jnp.float32)
+    full = np.asarray(hifigan.vocode(params, CFG, mel))
+
+    tpv = TimeParallelVocoder(params, CFG, devices=jax.devices()[:4],
+                              chunk_frames=16, overlap=8)
+    tpv.warmup()
+    wav = tpv.vocode(mel)
+    n = min(wav.shape[1], full.shape[1])
+    np.testing.assert_allclose(wav[:, :n], full[:, :n], atol=2e-5, rtol=1e-4)

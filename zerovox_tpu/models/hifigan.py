@@ -68,6 +68,7 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
         C_stage = c.shape[-1]
         rho = 128 // C_stage if (128 % C_stage == 0) else 1
+        rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
         backend = cfg.vocoder_backend
         if backend == "auto":
             backend = "folded"

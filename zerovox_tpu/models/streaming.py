@@ -95,29 +95,39 @@ class StreamingSynthesizer:
         self._vocode_interior(self.params, mk(ov + ch + ov))
         self._vocode_last(self.params, mk(ov + ch))
 
-    def vocode_chunks(self, mel: jnp.ndarray, n_chunks: int):
-        """Yield (B, chunk_frames*hop) waveform chunks, bit-matching the full
-        vocoder run.
+    def chunk_plan(self, T: int, n_chunks: int):
+        """Static plan: per chunk, (program kind, window start, window size).
 
         Interior chunks take `overlap` frames of real mel context per side;
         chunks touching the true buffer edges run shorter-window programs so
         the convs' own zero padding applies there, exactly as in a full run.
         """
-        B, T, M = mel.shape
         ov, ch = self.overlap, self.chunk_frames
-        sl = jax.lax.dynamic_slice_in_dim
+        plan = []
         for c in range(n_chunks):
             start, end = c * ch, (c + 1) * ch
             left_edge, right_edge = start == 0, end == T
             if left_edge and right_edge:
-                yield self._vocode_full(self.params, mel)
+                plan.append(("full", 0, T))
             elif left_edge:
-                yield self._vocode_first(self.params, sl(mel, 0, ch + ov, axis=1))
+                plan.append(("first", 0, ch + ov))
             elif right_edge:
-                yield self._vocode_last(self.params, sl(mel, start - ov, ov + ch, axis=1))
+                plan.append(("last", start - ov, ov + ch))
             else:
-                yield self._vocode_interior(
-                    self.params, sl(mel, start - ov, ov + ch + ov, axis=1))
+                plan.append(("interior", start - ov, ov + ch + ov))
+        return plan
+
+    def program(self, kind: str):
+        return {"full": self._vocode_full, "first": self._vocode_first,
+                "last": self._vocode_last,
+                "interior": self._vocode_interior}[kind]
+
+    def vocode_chunks(self, mel: jnp.ndarray, n_chunks: int):
+        """Yield (B, chunk_frames*hop) waveform chunks, bit-matching the full
+        vocoder run."""
+        sl = jax.lax.dynamic_slice_in_dim
+        for kind, start, size in self.chunk_plan(mel.shape[1], n_chunks):
+            yield self.program(kind)(self.params, sl(mel, start, size, axis=1))
 
     def stream(self, src_seq, puncts, style_embed,
                num_phonemes=None) -> Iterator[np.ndarray]:

@@ -5,7 +5,8 @@ from .sharding import (param_partition_specs, replicated_specs, shard_params,
                        shard_batch, batch_specs)
 from .infer import make_sharded_synthesize
 from .pipeline import PipelinedTTS
+from .seq import TimeParallelVocoder
 
 __all__ = ["make_mesh", "single_device_mesh", "DATA_AXIS", "MODEL_AXIS",
            "param_partition_specs", "replicated_specs", "shard_params",
-           "shard_batch", "batch_specs", "make_sharded_synthesize", "PipelinedTTS"]
+           "shard_batch", "batch_specs", "make_sharded_synthesize", "PipelinedTTS", "TimeParallelVocoder"]

@@ -1,0 +1,72 @@
+"""Sequence (time) parallelism: one utterance's vocoder fanned over devices.
+
+The vocoder is time-local (convs only), so a single long utterance can be
+split into exact chunks (the streaming window scheme of
+models.streaming.StreamingSynthesizer) and vocoded on different chips
+concurrently — cutting the dominant stage's latency by ~n_devices for one
+utterance.  The mel is tiny (1500 x 80 ~ 0.5 MB) and is replicated; outputs
+come back per chunk.  jit dispatch follows input placement, so the same four
+chunk programs serve every device; async dispatch overlaps them.
+
+This is the TPU-native "SP" story for a model with no attention over the mel
+axis: no ring exchange is needed because the receptive field is a static
+local halo carried in the chunk windows (cf. ring attention, which exists for
+globally-coupled sequence ops; SURVEY §5 long-context notes).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ZeroVoxConfig
+from ..models.streaming import StreamingSynthesizer
+
+
+class TimeParallelVocoder:
+    """Vocode one (batch of) mel across several devices, chunk round-robin."""
+
+    def __init__(self, params, cfg: ZeroVoxConfig,
+                 devices: Optional[Sequence] = None,
+                 chunk_frames: int = 60, overlap: int = 16):
+        self.devices = list(devices or jax.devices())
+        self.cfg = cfg
+        self._s = StreamingSynthesizer(params, cfg, chunk_frames=chunk_frames,
+                                       overlap=overlap)
+        # vocoder weights resident on every participating device
+        voc = {"vocoder": params["vocoder"]}
+        self._params_on = [jax.device_put(voc, d) for d in self.devices]
+
+    def warmup(self, batch: int = 1):
+        ov, ch = self._s.overlap, self._s.chunk_frames
+        mk = lambda n: jnp.zeros((batch, n, self.cfg.num_mels), jnp.float32)
+        for d_idx, dev in enumerate(self.devices):
+            p = self._params_on[d_idx]
+            self._s._vocode_first(p, jax.device_put(mk(ch + ov), dev))
+            self._s._vocode_interior(p, jax.device_put(mk(ov + ch + ov), dev))
+            self._s._vocode_last(p, jax.device_put(mk(ov + ch), dev))
+
+    def vocode(self, mel: jnp.ndarray, mel_len=None) -> np.ndarray:
+        """mel (B, T, M) -> wav (B, n_chunks*chunk_frames*hop), exact vs the
+        one-device full run over the covered frames."""
+        B, T, M = mel.shape
+        ch = self._s.chunk_frames
+        if mel_len is None:
+            max_len = T
+        else:
+            max_len = int(np.max(np.asarray(mel_len)))
+        n_chunks = max(1, -(-max_len // ch))
+
+        mel_h = np.asarray(jax.device_get(mel))
+        futures = []
+        for c, (kind, start, size) in enumerate(
+                self._s.chunk_plan(T, n_chunks)):
+            d_idx = c % len(self.devices)
+            window = jax.device_put(mel_h[:, start:start + size],
+                                    self.devices[d_idx])
+            futures.append(self._s.program(kind)(self._params_on[d_idx], window))
+        chunks = [np.asarray(jax.device_get(f)) for f in futures]
+        return np.concatenate(chunks, axis=1)
