@@ -111,3 +111,27 @@ def test_config_gguf_kv_roundtrip():
         num_resblocks=CFG.num_resblocks,
         resblock_dilations=CFG.resblock_dilations)
     assert cfg2 == CFG
+
+
+def test_quantized_checkpoint(tmp_path, rng):
+    """save_params(quantize='q8_0') -> smaller file, output within q8 tolerance."""
+    import os
+    params = init_params(CFG, seed=3)
+    p32 = str(tmp_path / "f32.gguf")
+    pq8 = str(tmp_path / "q8.gguf")
+    save_params(p32, params, CFG)
+    save_params(pq8, params, CFG, quantize="q8_0")
+    assert os.path.getsize(pq8) < 0.6 * os.path.getsize(p32)
+
+    _, params_q = load_params(pq8)
+    # the duration path is discrete (rounding) so e2e mels can shift by whole
+    # frames under quantization; compare the continuous vocoder path instead
+    from zerovox_tpu.models import hifigan
+    mel = jnp.asarray(rng.normal(size=(1, 16, CFG.num_mels)), jnp.float32)
+    wa = hifigan.vocode(params, CFG, mel)
+    wq = hifigan.vocode(params_q, CFG, mel)
+    np.testing.assert_allclose(np.asarray(wq), np.asarray(wa), atol=0.05)
+
+    src, pun, style = _inputs(rng, B=1)
+    b = synthesize(params_q, CFG, src, pun, style)
+    assert np.isfinite(np.asarray(b.wav)).all()

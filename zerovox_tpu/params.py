@@ -244,20 +244,37 @@ def load_params(path: str, cfg: Optional[ZeroVoxConfig] = None,
         else:
             arrays = r.load_all(as_float32=True)
     if arrays is None:
-        with native.NativeGGUF(path) as ng:
-            arrays = ng.load_all(as_float32=True)
+        try:
+            with native.NativeGGUF(path) as ng:
+                arrays = ng.load_all(as_float32=True)
+        except NotImplementedError:
+            # quantized tensors: the Python reader dequantizes them
+            with GGUFReader(path) as r:
+                arrays = r.load_all(as_float32=True)
     return cfg, params_from_arrays(arrays, cfg, dtype=dtype)
 
 
-def save_params(path: str, params: dict, cfg: ZeroVoxConfig):
-    """Write params + hparams to a reference-compatible GGUF file."""
-    from .io.gguf import GGUFWriter
+def save_params(path: str, params: dict, cfg: ZeroVoxConfig,
+                quantize: Optional[str] = None):
+    """Write params + hparams to a reference-compatible GGUF file.
+
+    quantize="q8_0" stores large matrix/conv weights as 8-bit blocks (~3.6x
+    smaller file); embeddings, biases and norm vectors stay f32.  The loader
+    dequantizes transparently.
+    """
+    from .io.gguf import GGUFWriter, GGMLType
     w = GGUFWriter(arch=cfg.GGUF_ARCH)
     for key, val in cfg.to_gguf_kv().items():
         w.add_uint32(key, val)
     w.add_kv(cfg.GGUF_CONFIG_KEY, cfg.to_json())
     for name, arr in params_to_arrays(params, cfg).items():
-        w.add_tensor(name, arr)
+        quantizable = (arr.ndim >= 2 and arr.size % 32 == 0
+                       and arr.size >= 4096 and "emb" not in name
+                       and name != "sinusoid_encoding_table")
+        if quantize == "q8_0" and quantizable:
+            w.add_tensor(name, arr, ggml_type=GGMLType.Q8_0)
+        else:
+            w.add_tensor(name, arr)
     w.write(path)
 
 
