@@ -106,3 +106,24 @@ def test_cli_end_to_end(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     wav, rate = read_wav(out)
     assert rate == CFG.sampling_rate
+
+
+def test_engine_concurrent_requests(rng):
+    """Engine shared across threads: concurrent synthesize calls stay correct
+    (compile cache is lock-guarded)."""
+    import threading
+    params = init_params(CFG, seed=0)
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32))
+    src, pun, style = _inputs(rng, B=1)
+    ref_wavs, ref_len = e.synthesize(src, pun, style)
+
+    results = [None] * 4
+    def worker(i):
+        wavs, mel_len = e.synthesize(src, pun, style)
+        results[i] = (wavs[0], mel_len)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads: t.start()
+    for t in threads: t.join()
+    for wav, mel_len in results:
+        np.testing.assert_array_equal(np.asarray(mel_len), np.asarray(ref_len))
+        np.testing.assert_allclose(wav, ref_wavs[0], atol=1e-6)

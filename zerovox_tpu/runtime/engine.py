@@ -12,6 +12,7 @@ once via warmup()).
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -54,20 +55,24 @@ class TTSEngine:
 
         self._front = front
         self._back: Dict[int, callable] = {}
+        # engines are shared across serving threads; guard the compile cache
+        self._lock = threading.Lock()
 
     def _back_fn(self, bucket: int):
         """decoder+vocoder program specialised to `bucket` mel frames."""
-        if bucket not in self._back:
-            cfg_ = self.cfg
+        with self._lock:
+            if bucket not in self._back:
+                cfg_ = self.cfg
 
-            @jax.jit
-            def back(params, hidden_b, style_embed):
-                mel = styletts_decoder.decode(params, cfg_, hidden_b, style_embed)
-                wav = hifigan.vocode(params, cfg_, mel)
-                return mel, wav
+                @jax.jit
+                def back(params, hidden_b, style_embed):
+                    mel = styletts_decoder.decode(params, cfg_, hidden_b,
+                                                  style_embed)
+                    wav = hifigan.vocode(params, cfg_, mel)
+                    return mel, wav
 
-            self._back[bucket] = back
-        return self._back[bucket]
+                self._back[bucket] = back
+            return self._back[bucket]
 
     def pick_bucket(self, mel_len: int) -> int:
         for b in self.mel_buckets:
