@@ -29,8 +29,11 @@ _DIMENSION_NUMBERS = ("NHC", "HIO", "NHC")
 # XLA's TPU conv lowering wastes the 128-lane MXU tiles when the channel count
 # is small: measured on v5e, a C=32 dilated conv runs at ~3 TFLOP/s-effective
 # while the equivalent im2col matmul (L, K*C) @ (K*C, C) runs at ~40 TFLOP/s
-# (17x).  Crossover is at C=128; above that the native lowering wins.
-_IM2COL_MAX_CHANNELS = 128
+# (17x).  In *isolation* the crossover is at C=128, but inside the full
+# vocoder graph the C=128 im2col cols-concats cost ~3 ms of extra HBM traffic
+# (measured: stage-2 cut 8.6 -> 5.4 ms with native convs), so the production
+# threshold stays below it.  C <= 64 stages use the folded path anyway.
+_IM2COL_MAX_CHANNELS = 64
 
 
 def conv1d_im2col(x: jnp.ndarray,
@@ -188,6 +191,55 @@ def conv1d_folded(xf: jnp.ndarray,
                      preferred_element_type=jnp.float32).astype(xf.dtype)
     if b is not None:
         out = out + jnp.tile(b, rho)
+    return out
+
+
+def conv1d_folded_out(xf: jnp.ndarray,
+                      w: jnp.ndarray,
+                      b: Optional[jnp.ndarray] = None,
+                      padding: int = 0,
+                      dilation: int = 1,
+                      rho_in: int = 1,
+                      rho_out: int = 128) -> jnp.ndarray:
+    """Stride-1 conv from a rho_in-folded input to a rho_out-folded output.
+
+    Built for tiny-C_out heads: a (L, 1) result is a 1-lane array whose every
+    HBM pass is 128x padded; producing (L/rho_out, rho_out*C_out) instead
+    keeps the write lane-dense.  Requires rho_in | rho_out and
+    L % rho_out == 0.  The conv becomes, per output block b, a sum over block
+    offsets delta of x_f[b*(rho_out/rho_in) + delta] @ W_delta with
+    statically scattered (rho_in*Cin, rho_out*Cout) weights.
+    """
+    k, Cin, Cout = w.shape
+    B, nblk_in, rc = xf.shape
+    assert rc == rho_in * Cin and rho_out % rho_in == 0
+    stride = rho_out // rho_in
+    nblk_out = nblk_in // stride
+
+    terms = {}
+    for j in range(k):
+        for i_out in range(rho_out):
+            pos = i_out + j * dilation - padding
+            delta, r = pos // rho_in, pos % rho_in
+            terms.setdefault(delta, []).append((r, i_out, j))
+    deltas = sorted(terms)
+    lo, hi = -deltas[0], deltas[-1]
+    xpad = jnp.pad(xf, ((0, 0), (lo, hi), (0, 0)))
+
+    out = None
+    for delta in deltas:
+        Wd = jnp.zeros((rho_in * Cin, rho_out * Cout), w.dtype)
+        for (r, i_out, j) in terms[delta]:
+            Wd = Wd.at[r * Cin:(r + 1) * Cin,
+                       i_out * Cout:(i_out + 1) * Cout].add(w[j])
+        start = delta + lo
+        xv = xpad[:, start:start + nblk_out * stride:stride]
+        y = jnp.einsum("blc,co->blo", xv, Wd,
+                       preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    out = out.astype(xf.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, rho_out)
     return out
 
 
