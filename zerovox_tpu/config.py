@@ -65,17 +65,14 @@ class ZeroVoxConfig:
     # Reference MHA attends freely over padding (src/fs2encoder.cpp:103-110 has
     # no mask).  Keep that for bit parity; set True for the corrected behaviour.
     use_attention_mask: bool = False
-    # Small-channel vocoder-stage implementation:
-    #   "folded" — lane-dense XLA block-matmul path (default; see ops.conv.fold)
-    #   "pallas" — fused MRF kernel (ops.pallas.folded_mrf)
+    # Vocoder MRF-stage implementation:
+    #   "auto"   — pallas on TPU (all stages with C <= 128, incl. the rho=1
+    #              C=128 stage), lane-folded XLA elsewhere (default)
+    #   "pallas" — force the fused MRF kernel (ops.pallas.folded_mrf)
+    #   "folded" — lane-dense XLA block-matmul path (see ops.conv.fold)
     #   "native" — plain XLA convs (baseline / debugging)
-    #   "auto"   — currently resolves to "folded" everywhere
-    # Measured v5e per-stage MRF: native 15.5 ms, folded 4.8 ms, pallas 2.35 ms
-    # (stage 4); pallas also wins stage 3 (1.9 vs 3.6 ms) but XLA inserts
-    # layout copies around the custom calls that erase the end-to-end gain
-    # (23.7 vs 23.0 ms full pipeline), so folded stays the default until the
-    # kernel consumes/produces unfolded layouts and double-buffers its DMA.
-    vocoder_backend: str = "folded"
+    # Measured v5e full vocoder: pallas 18.1 ms, folded 20.7 ms, native 33 ms.
+    vocoder_backend: str = "auto"
 
     # ------------------------------------------------------------------ derived
     @property

@@ -71,16 +71,24 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
         backend = cfg.vocoder_backend
         if backend == "auto":
-            backend = "folded"
+            # measured v5e full vocoder: pallas (stages C<=128) 18.1 ms vs
+            # folded-XLA 20.7 ms vs native 33 ms; interpret-mode pallas is
+            # slow, so CPU keeps the folded XLA path
+            import jax
+            backend = "pallas" if jax.default_backend() == "tpu" else "folded"
         if backend == "native" or (rho > 1 and c.shape[1] % rho != 0):
             rho = 1
         stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
                         for j in range(cfg.num_resblocks)]
-        if rho > 1 and backend == "pallas":
+        if backend == "pallas" and C_stage <= 128:
             from ..ops.pallas.folded_mrf import folded_mrf_stage
-            c = unfold(folded_mrf_stage(
-                fold(c, rho), stage_blocks, cfg.resblock_dilations,
-                cfg.resblock_kernel_size, rho), rho)
+            if rho > 1:
+                c = unfold(folded_mrf_stage(
+                    fold(c, rho), stage_blocks, cfg.resblock_dilations,
+                    cfg.resblock_kernel_size, rho), rho)
+            else:
+                c = folded_mrf_stage(c, stage_blocks, cfg.resblock_dilations,
+                                     cfg.resblock_kernel_size, rho=1)
         else:
             if rho > 1:
                 c = fold(c, rho)
