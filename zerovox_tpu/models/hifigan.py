@@ -46,6 +46,17 @@ def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int,
     return x
 
 
+def _folded_out_rho(L: int, rho_in: int, max_lanes: int = 128) -> int:
+    """Largest rho_out (multiple of rho_in, <= max_lanes) dividing L, or 0."""
+    best = 0
+    r = rho_in
+    while r <= max_lanes:
+        if L % r == 0:
+            best = r
+        r += rho_in
+    return best if best > rho_in else 0
+
+
 def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, num_mels) -> waveform (B, T * hop_size)."""
     voc = params["vocoder"]
@@ -80,15 +91,19 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             rho = 1
         stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
                         for j in range(cfg.num_resblocks)]
+        last = i == len(cfg.upsample_scales) - 1
         if backend == "pallas" and C_stage <= 128:
             from ..ops.pallas.folded_mrf import folded_mrf_stage
             if rho > 1:
-                c = unfold(folded_mrf_stage(
+                c = folded_mrf_stage(
                     fold(c, rho), stage_blocks, cfg.resblock_dilations,
-                    cfg.resblock_kernel_size, rho), rho)
+                    cfg.resblock_kernel_size, rho)
+                if not last:
+                    c = unfold(c, rho)
             else:
                 c = folded_mrf_stage(c, stage_blocks, cfg.resblock_dilations,
                                      cfg.resblock_kernel_size, rho=1)
+                rho = 1
         else:
             if rho > 1:
                 c = fold(c, rho)
@@ -98,11 +113,30 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
                                    cfg.resblock_kernel_size, rho=rho)
                 acc = r if acc is None else acc + r
             c = acc * (1.0 / cfg.num_resblocks)
-            if rho > 1:
+            if rho > 1 and not last:
                 c = unfold(c, rho)
+        last_rho = rho
 
+    B = c.shape[0]
+    wav_len = mel.shape[1] * cfg.hop_size
+    out_w, out_b = voc["output_conv_w"], voc["output_conv_b"]
+    rho_out = (_folded_out_rho(wav_len, last_rho)
+               if last_rho > 1 and out_w.shape[2] == 1 else 0)
+    if rho_out:
+        # tail stays lane-dense: the last stage's folded activation feeds a
+        # folded-output conv (Cout=1 would otherwise be a 1-lane array whose
+        # every HBM pass pads 128x); final reshape to (B, L) is dense
+        from ..ops.conv import conv1d_folded_out
+        c = leaky_relu(c, 0.01)
+        c = conv1d_folded_out(c, out_w, out_b, padding=pad,
+                              rho_in=last_rho, rho_out=rho_out)
+        c = jnp.tanh(c)
+        tap("dbg", c.reshape(B, wav_len, 1))
+        return tap("wav", c.reshape(B, wav_len))
+    if last_rho > 1:
+        c = unfold(c, last_rho)
     c = leaky_relu(c, 0.01)
-    c = conv1d(c, voc["output_conv_w"], voc["output_conv_b"], padding=pad)
+    c = conv1d(c, out_w, out_b, padding=pad)
     c = jnp.tanh(c)
     # "dbg" mirrors the reference's permanent probe (src/hifigan.cpp:347)
     tap("dbg", c)

@@ -153,6 +153,38 @@ def _folded_weight_terms(k: int, rho: int, padding: int, dilation: int):
     return sorted(terms.items())
 
 
+def build_wdelta(w: jnp.ndarray, rho_in: int, rho_out: int,
+                 padding: int, dilation: int):
+    """Stacked folded weight matrices for a stride-1 conv.
+
+    Returns (deltas, W) with W of shape
+    (n_delta, rho_in*Cin, rho_out*Cout): W[d][r*Cin:(r+1)Cin,
+    i*Cout:(i+1)Cout] = w[j] when output slot i takes tap j from input slot r
+    of block offset deltas[d].  Built with ONE gather from a static index
+    table (a per-tap scatter chain explodes XLA compile time at rho_out=128).
+    """
+    import numpy as np
+    k, Cin, Cout = w.shape
+    terms = {}
+    for j in range(k):
+        for i_out in range(rho_out):
+            pos = i_out + j * dilation - padding
+            delta, r = pos // rho_in, pos % rho_in
+            terms.setdefault(delta, []).append((r, i_out, j))
+    deltas = sorted(terms)
+    # idx[d, r, i_out] = tap j (or k = zero tap)
+    idx = np.full((len(deltas), rho_in, rho_out), k, dtype=np.int32)
+    for d, delta in enumerate(deltas):
+        for (r, i_out, j) in terms[delta]:
+            idx[d, r, i_out] = j
+    w_ext = jnp.concatenate([w, jnp.zeros((1, Cin, Cout), w.dtype)], axis=0)
+    # (n_delta, rho_in, rho_out, Cin, Cout) -> (n_delta, rho_in*Cin, rho_out*Cout)
+    gathered = w_ext[jnp.asarray(idx)]
+    W = gathered.transpose(0, 1, 3, 2, 4).reshape(
+        len(deltas), rho_in * Cin, rho_out * Cout)
+    return deltas, W
+
+
 def conv1d_folded(xf: jnp.ndarray,
                   w: jnp.ndarray,
                   b: Optional[jnp.ndarray] = None,
@@ -172,8 +204,7 @@ def conv1d_folded(xf: jnp.ndarray,
     B, nblk, rc = xf.shape
     assert rc == rho * C
 
-    terms = _folded_weight_terms(k, rho, padding, dilation)
-    deltas = [d for d, _ in terms]
+    deltas, W = build_wdelta(w, rho, rho, padding, dilation)
     lo, hi = -deltas[0], deltas[-1]
     xpad = jnp.pad(xf, ((0, 0), (lo, hi), (0, 0)))
 
@@ -181,12 +212,7 @@ def conv1d_folded(xf: jnp.ndarray,
     cols = jnp.concatenate(
         [lax.dynamic_slice_in_dim(xpad, d + lo, nblk, axis=1)
          for d in deltas], axis=-1)
-    wcat = jnp.zeros((len(deltas) * rho * C, rho * C), w.dtype)
-    for di, (_, lst) in enumerate(terms):
-        base = di * rho * C
-        for (r, i, j) in lst:
-            wcat = wcat.at[base + r * C: base + (r + 1) * C,
-                           i * C:(i + 1) * C].add(w[j])
+    wcat = W.reshape(len(deltas) * rho * C, rho * C)
     out = jnp.einsum("blc,co->blo", cols, wcat,
                      preferred_element_type=jnp.float32).astype(xf.dtype)
     if b is not None:
@@ -216,25 +242,15 @@ def conv1d_folded_out(xf: jnp.ndarray,
     stride = rho_out // rho_in
     nblk_out = nblk_in // stride
 
-    terms = {}
-    for j in range(k):
-        for i_out in range(rho_out):
-            pos = i_out + j * dilation - padding
-            delta, r = pos // rho_in, pos % rho_in
-            terms.setdefault(delta, []).append((r, i_out, j))
-    deltas = sorted(terms)
+    deltas, W = build_wdelta(w, rho_in, rho_out, padding, dilation)
     lo, hi = -deltas[0], deltas[-1]
     xpad = jnp.pad(xf, ((0, 0), (lo, hi), (0, 0)))
 
     out = None
-    for delta in deltas:
-        Wd = jnp.zeros((rho_in * Cin, rho_out * Cout), w.dtype)
-        for (r, i_out, j) in terms[delta]:
-            Wd = Wd.at[r * Cin:(r + 1) * Cin,
-                       i_out * Cout:(i_out + 1) * Cout].add(w[j])
+    for di, delta in enumerate(deltas):
         start = delta + lo
         xv = xpad[:, start:start + nblk_out * stride:stride]
-        y = jnp.einsum("blc,co->blo", xv, Wd,
+        y = jnp.einsum("blc,co->blo", xv, W[di],
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
     out = out.astype(xf.dtype)

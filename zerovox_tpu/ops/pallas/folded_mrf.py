@@ -41,16 +41,11 @@ def _conv_schedule(k: int, rho: int, dilation: int) -> List[int]:
 
 def _build_wdelta(w: jnp.ndarray, rho: int, dilation: int) -> jnp.ndarray:
     """(n_delta, rho*C, rho*C) stacked folded weight matrices for one conv."""
-    k, C, _ = w.shape
+    from ..conv import build_wdelta
+    k = w.shape[0]
     pad = (k - 1) // 2 * dilation
-    terms = _folded_weight_terms(k, rho, pad, dilation)
-    mats = []
-    for _, lst in terms:
-        m = jnp.zeros((rho * C, rho * C), w.dtype)
-        for (r, i, j) in lst:
-            m = m.at[r * C:(r + 1) * C, i * C:(i + 1) * C].add(w[j])
-        mats.append(m)
-    return jnp.stack(mats)
+    _, W = build_wdelta(w, rho, rho, pad, dilation)
+    return W
 
 
 def _leaky(x, slope=0.1):
