@@ -85,22 +85,17 @@ def conv1d(x: jnp.ndarray,
     return out
 
 
-def conv_transpose1d(x: jnp.ndarray,
-                     w_flipped: jnp.ndarray,
-                     b: Optional[jnp.ndarray] = None,
-                     stride: int = 1,
-                     padding: int = 0,
-                     output_padding: int = 0) -> jnp.ndarray:
-    """ConvTranspose1d via input dilation.
+def conv_transpose1d_lax(x: jnp.ndarray,
+                         w_flipped: jnp.ndarray,
+                         b: Optional[jnp.ndarray] = None,
+                         stride: int = 1,
+                         padding: int = 0,
+                         output_padding: int = 0) -> jnp.ndarray:
+    """ConvTranspose1d via XLA lhs_dilation (reference formulation).
 
-    `w_flipped` is (K, Cin, Cout) in *flipped correlation* layout: correlating
-    the stride-dilated input with it reproduces torch's ConvTranspose1d —
-    exactly the scheme the reference exporter bakes in (utils/zv2gguf.py:176-178)
-    and its runtime re-derives with zero-stuffing views
-    (/root/reference/src/hifigan.cpp:44-65).  Here XLA's lhs_dilation does the
-    zero-stuffing implicitly; nothing is materialised in HBM.
-
-    Output length: (T-1)*stride + K - 2*padding + output_padding.
+    Kept for parity testing; the production path is the polyphase form below
+    — profiling showed XLA's dilated-input conv costing 6.5 ms for the 64->32
+    upsample inside the full vocoder graph vs <0.4 ms isolated.
     """
     k = w_flipped.shape[0]
     lo = k - 1 - padding
@@ -114,6 +109,66 @@ def conv_transpose1d(x: jnp.ndarray,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d(x: jnp.ndarray,
+                     w_flipped: jnp.ndarray,
+                     b: Optional[jnp.ndarray] = None,
+                     stride: int = 1,
+                     padding: int = 0,
+                     output_padding: int = 0) -> jnp.ndarray:
+    """ConvTranspose1d, polyphase formulation.
+
+    `w_flipped` is (K, Cin, Cout) in *flipped correlation* layout: correlating
+    the stride-dilated input with it reproduces torch's ConvTranspose1d —
+    exactly the scheme the reference exporter bakes in (utils/zv2gguf.py:176-178)
+    and its runtime re-derives with zero-stuffing views
+    (/root/reference/src/hifigan.cpp:44-65).
+
+    Instead of XLA's lhs_dilation (implicitly zero-stuffed input — measured
+    pathologically slow in composition), each output phase r in [0, stride)
+    is an ordinary stride-1 conv with the kernel's r-th polyphase component,
+    and the phases interleave via a free row-major reshape.
+
+    Output length: (T-1)*stride + K - 2*padding + output_padding; this
+    implementation requires that to equal T*stride (true for the standard
+    pad = s//2 + s%2, outpad = s%2 upsampling geometry) and falls back to the
+    lax formulation otherwise.
+    """
+    B, L, Cin = x.shape
+    K, _, Cout = w_flipped.shape
+    out_len = (L - 1) * stride + K - 2 * padding + output_padding
+    if stride == 1 or out_len != L * stride:
+        return conv_transpose1d_lax(x, w_flipped, b, stride, padding,
+                                    output_padding)
+
+    lo = K - 1 - padding
+    # phase r: y[s*q + r] = sum_u w_flipped[m_r + s*u] . x[q + o_r + u]
+    phase = []
+    for r in range(stride):
+        m_r = (lo - r) % stride
+        w_r = w_flipped[m_r::stride]
+        o_r = (r + m_r - lo) // stride
+        phase.append((w_r, o_r, w_r.shape[0]))
+    pl = max(0, -min(o for (_, o, _) in phase))
+    # each phase's valid conv must cover slice [pl+o_r, pl+o_r+L): the last
+    # read touches xp[pl + L-1 + o_r + K_r-1]
+    pr = max(0, max(o + kr - 1 for (_, o, kr) in phase))
+    xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+
+    outs = []
+    for (w_r, o_r, k_r) in phase:
+        y = lax.conv_general_dilated(
+            xp, w_r, window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=_DIMENSION_NUMBERS,
+            preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                    else None)).astype(x.dtype)
+        outs.append(lax.dynamic_slice_in_dim(y, pl + o_r, L, axis=1))
+
+    out = jnp.stack(outs, axis=2).reshape(B, L * stride, Cout)
     if b is not None:
         out = out + b
     return out
