@@ -141,7 +141,9 @@ def conv_transpose1d(x: jnp.ndarray,
     B, L, Cin = x.shape
     K, _, Cout = w_flipped.shape
     out_len = (L - 1) * stride + K - 2 * padding + output_padding
-    if stride == 1 or out_len != L * stride:
+    # at short lengths (streaming chunks, small buckets) the polyphase
+    # slicing/stack overhead dominates — the lax path wins there
+    if stride == 1 or out_len != L * stride or L < 8192:
         return conv_transpose1d_lax(x, w_flipped, b, stride, padding,
                                     output_padding)
 
@@ -161,11 +163,8 @@ def conv_transpose1d(x: jnp.ndarray,
 
     outs = []
     for (w_r, o_r, k_r) in phase:
-        y = lax.conv_general_dilated(
-            xp, w_r, window_strides=(1,), padding=[(0, 0)],
-            dimension_numbers=_DIMENSION_NUMBERS,
-            preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
-                                    else None)).astype(x.dtype)
+        # conv1d dispatches small-channel phases to the im2col fast path
+        y = conv1d(xp, w_r, None, padding=0)
         outs.append(lax.dynamic_slice_in_dim(y, pl + o_r, L, axis=1))
 
     out = jnp.stack(outs, axis=2).reshape(B, L * stride, Cout)
