@@ -28,12 +28,54 @@ def test_engine_buckets():
     params = init_params(CFG, seed=0)
     e = TTSEngine(params, CFG, mel_buckets=(16, 32))
     assert e.mel_buckets == (16, 32, CFG.max_seq_len)
-    assert e.pick_bucket(10) == 16
-    assert e.pick_bucket(16) == 16
-    assert e.pick_bucket(17) == 32
+    # pick_bucket covers mel_len + the vocoder receptive-field margin, so the
+    # truncated vocode equals the full run on the trimmed region
+    m = e.margin
+    assert m >= 1
+    assert e.pick_bucket(16 - m) == 16
+    assert e.pick_bucket(16 - m + 1) == 32
     assert e.pick_bucket(999999) == CFG.max_seq_len
-    assert e.group_by_bucket([5, 20, 60]) == {16: [0], 32: [1],
-                                              CFG.max_seq_len: [2]}
+    assert e.group_by_bucket([16 - m, 32 - m, 60]) == {
+        16: [0], 32: [1], CFG.max_seq_len: [2]}
+
+
+def test_engine_small_bucket_matches_full_run(rng):
+    """ADVICE r1 (high): a small-bucket dispatch must produce the same trimmed
+    audio as the full-length run — the StyleTTS decoder's InstanceNorms reduce
+    over the whole padded time axis, so the decoder must never be truncated."""
+    params = init_params(CFG, seed=0)
+    src, pun, style = _inputs(rng)
+
+    nph = np.array([4, 6], np.int32)          # short utterances -> small bucket
+    full = TTSEngine(params, CFG, mel_buckets=())       # always max_seq_len
+    small = TTSEngine(params, CFG, mel_buckets=(16, 32))
+
+    ref_wavs, ref_len = full.synthesize(src, pun, style, num_phonemes=nph)
+    wavs, mel_len = small.synthesize(src, pun, style, num_phonemes=nph)
+    np.testing.assert_array_equal(mel_len, ref_len)
+    # must actually exercise a sub-max bucket or the test proves nothing
+    assert small.pick_bucket(int(mel_len.max())) < CFG.max_seq_len
+    for w, r in zip(wavs, ref_wavs):
+        np.testing.assert_allclose(w, r, atol=1e-6)
+
+
+def test_engine_packed_mixed_lengths(rng):
+    """Mixed-length batch routed through group_by_bucket: two vocoder
+    programs run, outputs match the per-utterance unpacked reference."""
+    params = init_params(CFG, seed=0)
+    B = 3
+    src, pun, style = _inputs(rng, B=B)
+    nph = np.array([2, CFG.max_n_phonemes, 3], np.int32)
+
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32))
+    ref_wavs, ref_len = e.synthesize(src, pun, style, num_phonemes=nph)
+    wavs, mel_len = e.synthesize_packed(src, pun, style, num_phonemes=nph)
+
+    np.testing.assert_array_equal(mel_len, ref_len)
+    assert len(e.group_by_bucket(mel_len)) >= 2, (
+        "test inputs must span at least two buckets")
+    for w, r in zip(wavs, ref_wavs):
+        np.testing.assert_allclose(w, r, atol=1e-6)
 
 
 def test_engine_matches_pipeline_untrimmed(rng):

@@ -18,6 +18,28 @@ from ..ops.conv import conv1d_folded, fold, unfold
 from ..utils.debug import tap
 
 
+def receptive_field_frames(cfg: ZeroVoxConfig) -> int:
+    """Right-side halo, in mel frames, beyond which truncating the mel cannot
+    change earlier output samples.
+
+    Used by the serving engine to pick a vocoder bucket that reproduces the
+    full-length run bit-exactly on the trimmed region, and as the floor for
+    the streaming overlap.  Computed conservatively: ConvTranspose(stride s,
+    kernel k) maps an input halo h to s*h + k output samples; an MRF stage's
+    parallel resblocks contribute the max over resblocks of the summed
+    (dilated + unit) conv halos.
+    """
+    k_half = (cfg.hifigan_kernel_size - 1) // 2
+    rk_half = (cfg.resblock_kernel_size - 1) // 2
+    mrf = max(sum(d * rk_half + rk_half for d in dil)
+              for dil in cfg.resblock_dilations)
+    h = k_half  # input conv, mel resolution
+    for scale, k in zip(cfg.upsample_scales, cfg.upsample_kernel_sizes):
+        h = h * scale + k + mrf
+    h += k_half  # output conv, sample resolution
+    return -(-h // cfg.hop_size)
+
+
 def residual_block(x: jnp.ndarray, p: dict, dilations, kernel_size: int,
                    rho: int = 1) -> jnp.ndarray:
     """Multi-dilation residual block (/root/reference/src/hifigan.cpp:74-185):

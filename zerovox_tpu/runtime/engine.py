@@ -3,11 +3,14 @@
 The reference pays for the full max_seq_len (1500-frame / 18.75 s) graph on
 every utterance regardless of actual length (/root/reference/src/zerovox.cpp:369
 writes the padded tail into the WAV).  Serving on TPU wants static shapes but
-not always the *largest* shape: the engine runs the cheap encoder +
-length-regulator first, reads the predicted mel length, and dispatches the
-heavy decoder+vocoder at the smallest pre-compiled bucket that fits.  Buckets
-bound XLA recompiles to len(mel_buckets) programs, compiled lazily (or all at
-once via warmup()).
+not always the *largest* shape: the engine runs the encoder + length-regulator
++ StyleTTS decoder at full length first (the decoder's InstanceNorms reduce
+over the whole time axis, so it MUST see the same padded buffer as the
+reference — see docs/ARCHITECTURE.md), reads the predicted mel length, and
+dispatches only the heavy vocoder (~90% of FLOPs) at the smallest pre-compiled
+bucket that fits.  A receptive-field margin past mel_len makes the trimmed
+audio bit-identical to the full-length run.  Buckets bound XLA recompiles to
+len(mel_buckets) programs, compiled lazily (or all at once via warmup()).
 """
 
 from __future__ import annotations
@@ -38,6 +41,10 @@ class TTSEngine:
             cfg = cfg.replace(compute_dtype="bfloat16")
         self.params = params
         self.cfg = cfg
+        # Truncating the mel at `bucket` only perturbs vocoder outputs within
+        # the receptive field of the cut; keeping mel_len + margin <= bucket
+        # makes the trimmed waveform equal to the full run's.
+        self.margin = hifigan.receptive_field_frames(cfg)
         # buckets are mel-frame capacities, always ending at max_seq_len
         bks = sorted(set(int(b) for b in mel_buckets if b < cfg.max_seq_len))
         self.mel_buckets: Tuple[int, ...] = tuple(bks) + (cfg.max_seq_len,)
@@ -46,12 +53,20 @@ class TTSEngine:
 
         @jax.jit
         def front(params, src_seq, puncts, style_embed, num_phonemes):
+            mask = (fs2_encoder.phoneme_mask(num_phonemes, src_seq.shape[-1])
+                    if cfg_.use_attention_mask else None)
             features, log_dur = fs2_encoder.encode(
-                params, cfg_, src_seq, puncts, style_embed)
+                params, cfg_, src_seq, puncts, style_embed, phoneme_mask=mask)
             durations = durations_from_log(log_dur, cfg_.max_seq_len)
             hidden, mel_len = length_regulate(
                 features, durations, cfg_.max_seq_len, num_phonemes=num_phonemes)
-            return hidden, mel_len
+            # The decoder runs at FULL max_seq_len: its InstanceNorms (and the
+            # asr_res IN) reduce over the entire padded time axis, so any
+            # truncation here would change the statistics and diverge from the
+            # reference (/root/reference/src/stylettsdec.cpp:382-449 always
+            # sees the padded buffer).  It is a small share of total FLOPs.
+            mel = styletts_decoder.decode(params, cfg_, hidden, style_embed)
+            return mel, mel_len
 
         self._front = front
         self._back: Dict[int, callable] = {}
@@ -59,36 +74,34 @@ class TTSEngine:
         self._lock = threading.Lock()
 
     def _back_fn(self, bucket: int):
-        """decoder+vocoder program specialised to `bucket` mel frames."""
+        """Vocoder program specialised to `bucket` mel frames."""
         with self._lock:
             if bucket not in self._back:
                 cfg_ = self.cfg
 
                 @jax.jit
-                def back(params, hidden_b, style_embed):
-                    mel = styletts_decoder.decode(params, cfg_, hidden_b,
-                                                  style_embed)
-                    wav = hifigan.vocode(params, cfg_, mel)
-                    return mel, wav
+                def back(params, mel_b):
+                    return hifigan.vocode(params, cfg_, mel_b)
 
                 self._back[bucket] = back
             return self._back[bucket]
 
     def pick_bucket(self, mel_len: int) -> int:
+        """Smallest bucket covering mel_len + the vocoder receptive field."""
+        need = min(int(mel_len) + self.margin, self.cfg.max_seq_len)
         for b in self.mel_buckets:
-            if mel_len <= b:
+            if need <= b:
                 return b
         return self.mel_buckets[-1]
 
     def warmup(self, batch: int = 1):
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
         style = jnp.zeros((batch, cfg.d_model), jnp.float32)
-        hidden, _ = self._front(self.params, src, src, style,
-                                jnp.zeros((batch,), jnp.int32))
+        mel, _ = self._front(self.params, src, src, style,
+                             jnp.zeros((batch,), jnp.int32))
         for b in self.mel_buckets:
-            self._back_fn(b)(self.params, hidden[:, :b], style.astype(hidden.dtype))
+            self._back_fn(b)(self.params, mel[:, :b])
 
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,
@@ -97,10 +110,47 @@ class TTSEngine:
         """Batched synthesis with bucket dispatch.
 
         Returns (list of per-utterance waveforms (trimmed to mel_len*hop when
-        trim=True), mel_len array).  The whole batch runs at the bucket of its
-        longest utterance; callers batching aggressively should group inputs
-        by expected length (see group_by_bucket).
+        trim=True), mel_len array).  The whole batch vocodes at the bucket of
+        its longest utterance; for mixed-length batches use
+        synthesize_packed(), which routes each bucket group separately.
         """
+        mel, mel_len_h, style_embed = self._run_front(
+            src_seq, puncts, style_embed, num_phonemes)
+        B = mel.shape[0]
+        bucket = self.pick_bucket(int(mel_len_h.max()) if B else 0)
+
+        wav = self._back_fn(bucket)(self.params, mel[:, :bucket])
+        wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
+        return self._trim(wav_h, mel_len_h, trim), mel_len_h
+
+    def synthesize_packed(self, src_seq, puncts, style_embed,
+                          num_phonemes=None, trim: bool = True
+                          ) -> Tuple[List[np.ndarray], np.ndarray]:
+        """Bucket-packed batched synthesis.
+
+        Splits the batch by per-utterance bucket (group_by_bucket) and runs
+        one vocoder dispatch per group, so short utterances in a mixed batch
+        do not pay the longest utterance's compute.  Outputs are identical to
+        synthesize() (both match the full-length run on the trimmed region).
+        """
+        mel, mel_len_h, _ = self._run_front(
+            src_seq, puncts, style_embed, num_phonemes)
+        B = mel.shape[0]
+        cfg = self.cfg
+        wavs: List[Optional[np.ndarray]] = [None] * B
+        for bucket, idxs in self.group_by_bucket(mel_len_h).items():
+            mel_g = jnp.take(mel, jnp.asarray(idxs, jnp.int32), axis=0)
+            wav = self._back_fn(bucket)(self.params, mel_g[:, :bucket])
+            wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
+            for k, i in enumerate(idxs):
+                w = wav_h[k]
+                if trim:
+                    w = w[: int(mel_len_h[i]) * cfg.hop_size]
+                wavs[i] = w
+        return wavs, mel_len_h
+
+    # ---------------------------------------------------------------- helpers
+    def _run_front(self, src_seq, puncts, style_embed, num_phonemes):
         cfg = self.cfg
         src_seq = jnp.asarray(src_seq, jnp.int32)
         puncts = jnp.asarray(puncts, jnp.int32)
@@ -110,20 +160,18 @@ class TTSEngine:
             num_phonemes = jnp.full((B,), cfg.max_n_phonemes, jnp.int32)
         else:
             num_phonemes = jnp.asarray(num_phonemes, jnp.int32)
-
-        hidden, mel_len = self._front(self.params, src_seq, puncts,
-                                      style_embed, num_phonemes)
+        mel, mel_len = self._front(self.params, src_seq, puncts,
+                                   style_embed, num_phonemes)
         mel_len_h = np.asarray(jax.device_get(mel_len))
-        bucket = self.pick_bucket(int(mel_len_h.max()) if B else 0)
+        return mel, mel_len_h, style_embed
 
-        back = self._back_fn(bucket)
-        _, wav = back(self.params, hidden[:, :bucket],
-                      style_embed.astype(hidden.dtype))
-        wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
-
+    def _trim(self, wav_h: np.ndarray, mel_len_h: np.ndarray, trim: bool
+              ) -> List[np.ndarray]:
+        B = wav_h.shape[0]
         if not trim:
-            return [wav_h[i] for i in range(B)], mel_len_h
-        return [wav_h[i, : int(mel_len_h[i]) * cfg.hop_size] for i in range(B)], mel_len_h
+            return [wav_h[i] for i in range(B)]
+        hop = self.cfg.hop_size
+        return [wav_h[i, : int(mel_len_h[i]) * hop] for i in range(B)]
 
     def group_by_bucket(self, predicted_lens: Sequence[int]) -> Dict[int, List[int]]:
         """Group utterance indices by their mel bucket (for batch packing)."""
