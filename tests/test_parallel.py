@@ -88,6 +88,37 @@ def test_sharded_train_step(rng, data, model):
     assert not np.allclose(np.asarray(l0), np.asarray(l3))
 
 
+def test_train_grad_with_pallas_selecting_backend(rng):
+    """ADVICE r1 (medium): with vocoder_backend='auto'/'pallas' (which resolve
+    to the fused Pallas MRF kernel on TPU — no autodiff rule), the training
+    loss must still differentiate: loss_fn forces the folded XLA path."""
+    from zerovox_tpu.training.train import loss_fn, TrainBatch as TB
+    import jax
+
+    cfg = CFG.replace(vocoder_backend="pallas")
+    params = init_params(cfg, seed=2)
+    B = 2
+    src, pun, style = _batch_inputs(rng, B)
+    batch = TB(
+        src_seq=src, puncts=pun, style_embed=style,
+        num_phonemes=jnp.full((B,), cfg.max_n_phonemes, dtype=jnp.int32),
+        durations=jnp.asarray(rng.integers(1, 4, size=(B, cfg.max_n_phonemes)),
+                              dtype=jnp.int32),
+        mel_target=jnp.asarray(rng.normal(size=(B, cfg.max_seq_len, cfg.num_mels)),
+                               dtype=jnp.float32),
+        wav_target=jnp.asarray(rng.normal(scale=0.1, size=(B, cfg.wav_len)),
+                               dtype=jnp.float32),
+    )
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, cfg, batch,
+                          stft_resolutions=((128, 15, 60),))[0]))
+    loss, grads = grad_fn(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                               for g in jax.tree.leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_pipeline_placement_matches_single_device(rng):
     """Two-device stage placement (parallel.pipeline) must reproduce the
     single-device pipeline output."""
@@ -123,3 +154,31 @@ def test_time_parallel_vocoder_exact(rng):
     wav = tpv.vocode(mel)
     n = min(wav.shape[1], full.shape[1])
     np.testing.assert_allclose(wav[:, :n], full[:, :n], atol=2e-5, rtol=1e-4)
+
+
+def test_pod_mesh_layout():
+    """make_pod_mesh: data spans hosts, every model group stays on one host
+    row (ICI-only model collectives)."""
+    from zerovox_tpu.parallel import make_pod_mesh
+    devs = jax.devices()
+    mesh = make_pod_mesh(hosts=2, model=2, devices=devs)
+    assert mesh.shape == {"data": 4, "model": 2}
+    arr = np.asarray(mesh.devices)
+    # rows 0-1 must use host-0 devices (first half), rows 2-3 host-1
+    first_half = set(devs[:4])
+    for r in range(2):
+        assert set(arr[r]) <= first_half
+    for r in range(2, 4):
+        assert set(arr[r]) <= set(devs[4:])
+
+
+def test_initialize_distributed_noop_single_process():
+    from zerovox_tpu.parallel import initialize_distributed
+    assert initialize_distributed() is False
+
+
+def test_pod_mesh_train_step(rng):
+    """A full sharded train step on the pod-layout mesh (the n_hosts>1 dryrun
+    path)."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8, n_hosts=2)

@@ -50,8 +50,12 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-2,
 def loss_fn(params, cfg: ZeroVoxConfig, batch: TrainBatch,
             use_stft: bool = True,
             stft_resolutions=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    attn_mask = (fs2_encoder.phoneme_mask(batch.num_phonemes,
+                                          batch.src_seq.shape[-1])
+                 if cfg.use_attention_mask else None)
     features, log_dur = fs2_encoder.encode(
-        params, cfg, batch.src_seq, batch.puncts, batch.style_embed)
+        params, cfg, batch.src_seq, batch.puncts, batch.style_embed,
+        phoneme_mask=attn_mask)
 
     # teacher forcing: expand with ground-truth durations
     hidden, mel_len = length_regulate(features, batch.durations, cfg.max_seq_len,
@@ -66,7 +70,13 @@ def loss_fn(params, cfg: ZeroVoxConfig, batch: TrainBatch,
 
     wav_pred = wav_target = None
     if use_stft:
-        wav_pred = hifigan.vocode(params, cfg, mel)
+        # Force a differentiable vocoder path: the fused Pallas MRF kernel
+        # ("auto" resolves to it on TPU) has no autodiff rule, so value_and_grad
+        # through it fails on real hardware.  "folded" is XLA-only and the
+        # fastest differentiable backend.
+        voc_cfg = cfg if cfg.vocoder_backend in ("folded", "native") else \
+            cfg.replace(vocoder_backend="folded")
+        wav_pred = hifigan.vocode(params, voc_cfg, mel)
         wav_target = batch.wav_target
 
     losses = tts_losses(mel, batch.mel_target, mel_mask,
