@@ -57,8 +57,11 @@ struct Reader {
     uint64_t pos = 0;
     bool ok = true;
 
+    // All bounds checks are written in subtractive form (n > size - pos,
+    // with pos <= size as invariant) so attacker-controlled uint64 lengths
+    // from a crafted/corrupt file cannot wrap the comparison.
     template <typename T> T get() {
-        if (pos + sizeof(T) > size) { ok = false; return T{}; }
+        if (sizeof(T) > size - pos) { ok = false; return T{}; }
         T v;
         std::memcpy(&v, p + pos, sizeof(T));
         pos += sizeof(T);
@@ -66,25 +69,45 @@ struct Reader {
     }
     std::string get_string() {
         uint64_t n = get<uint64_t>();
-        if (!ok || pos + n > size) { ok = false; return {}; }
+        if (!ok || n > size - pos) { ok = false; return {}; }
         std::string s(reinterpret_cast<const char*>(p + pos), n);
         pos += n;
         return s;
     }
     bool skip(uint64_t n) {
-        if (pos + n > size) { ok = false; return false; }
+        if (n > size - pos) { ok = false; return false; }
         pos += n;
         return true;
     }
 };
 
-// Skip one KV value of the given GGUF type (we only need tensor offsets here).
-bool skip_value(Reader& r, int32_t vtype) {
+// Skip one KV value of the given GGUF type.  When out_uint is non-null and
+// the value is an unsigned/signed integer, also report it (used to capture
+// general.alignment without parsing the full KV section).
+bool skip_value(Reader& r, int32_t vtype, uint64_t* out_uint = nullptr) {
     switch (vtype) {
-        case 0: case 1: case 7: return r.skip(1);       // u8/i8/bool
-        case 2: case 3: return r.skip(2);               // u16/i16
-        case 4: case 5: case 6: return r.skip(4);       // u32/i32/f32
-        case 10: case 11: case 12: return r.skip(8);    // u64/i64/f64
+        case 0: case 1: case 7: {                       // u8/i8/bool
+            uint8_t v = r.get<uint8_t>();
+            if (out_uint) *out_uint = v;
+            return r.ok;
+        }
+        case 2: case 3: {                               // u16/i16
+            uint16_t v = r.get<uint16_t>();
+            if (out_uint) *out_uint = v;
+            return r.ok;
+        }
+        case 4: case 5: {                               // u32/i32
+            uint32_t v = r.get<uint32_t>();
+            if (out_uint) *out_uint = v;
+            return r.ok;
+        }
+        case 6: return r.skip(4);                       // f32
+        case 10: case 11: {                             // u64/i64
+            uint64_t v = r.get<uint64_t>();
+            if (out_uint) *out_uint = v;
+            return r.ok;
+        }
+        case 12: return r.skip(8);                      // f64
         case 8: { r.get_string(); return r.ok; }        // string
         case 9: {                                       // array
             int32_t et = r.get<int32_t>();
@@ -155,11 +178,27 @@ zv_gguf* zv_gguf_open(const char* path, char* errbuf, int errlen) {
         return nullptr;
     }
 
-    // skip the KV section (Python parses metadata)
+    // Walk the KV section (Python parses full metadata); honor
+    // general.alignment — hardcoding 32 would silently misplace the data
+    // section of any file written with a different alignment.
+    uint64_t alignment = kDefaultAlignment;
     for (int64_t i = 0; i < n_kv && r.ok; i++) {
-        r.get_string();
+        std::string key = r.get_string();
         int32_t vt = r.get<int32_t>();
-        if (!r.ok || !skip_value(r, vt)) r.ok = false;
+        if (!r.ok) break;
+        uint64_t uval = 0;
+        uint64_t* want = (key == "general.alignment") ? &uval : nullptr;
+        if (!skip_value(r, vt, want)) { r.ok = false; break; }
+        if (want) {
+            // must be a nonzero power of two (ggml requirement)
+            if (uval == 0 || (uval & (uval - 1)) != 0) {
+                set_err(errbuf, errlen, "invalid general.alignment");
+                munmap(const_cast<void*>(map), size);
+                ::close(fd);
+                return nullptr;
+            }
+            alignment = uval;
+        }
     }
 
     auto* g = new zv_gguf();
@@ -173,15 +212,28 @@ zv_gguf* zv_gguf_open(const char* path, char* errbuf, int errlen) {
         t.name = r.get_string();
         t.n_dims = (int32_t)r.get<uint32_t>();
         if (t.n_dims < 0 || t.n_dims > 4) { r.ok = false; break; }
-        int64_t nelem = 1;
+        uint64_t nelem = 1;
         for (int32_t d = 0; d < t.n_dims; d++) {
-            t.ne[d] = (int64_t)r.get<uint64_t>();
-            nelem *= t.ne[d];
+            uint64_t e = r.get<uint64_t>();
+            if (e > (uint64_t)INT64_MAX ||
+                __builtin_mul_overflow(nelem, e, &nelem)) {
+                r.ok = false;
+                break;
+            }
+            t.ne[d] = (int64_t)e;
         }
+        if (!r.ok) break;
         t.ggml_type = r.get<int32_t>();
         t.offset = r.get<uint64_t>();
         int64_t esz = type_size_bytes(t.ggml_type);
-        t.nbytes = esz > 0 ? (uint64_t)(nelem * esz) : 0;
+        if (esz > 0) {
+            if (__builtin_mul_overflow(nelem, (uint64_t)esz, &t.nbytes)) {
+                r.ok = false;
+                break;
+            }
+        } else {
+            t.nbytes = 0;
+        }
         g->by_name.emplace(t.name, g->tensors.size());
         g->tensors.push_back(std::move(t));
     }
@@ -194,12 +246,21 @@ zv_gguf* zv_gguf_open(const char* path, char* errbuf, int errlen) {
         return nullptr;
     }
 
-    uint64_t pad = (kDefaultAlignment - r.pos % kDefaultAlignment) % kDefaultAlignment;
+    uint64_t pad = (alignment - r.pos % alignment) % alignment;
     g->data_offset = r.pos + pad;
+    if (g->data_offset > g->map_size) {
+        set_err(errbuf, errlen, "data section starts past end of file");
+        munmap(const_cast<void*>(map), size);
+        ::close(fd);
+        delete g;
+        return nullptr;
+    }
 
-    // bounds-check every tensor against the file size
+    // bounds-check every tensor against the file size (subtractive form —
+    // offset/nbytes come from the file and may be adversarial)
+    uint64_t data_size = g->map_size - g->data_offset;
     for (const auto& t : g->tensors) {
-        if (g->data_offset + t.offset + t.nbytes > g->map_size) {
+        if (t.offset > data_size || t.nbytes > data_size - t.offset) {
             set_err(errbuf, errlen, "tensor data out of bounds: " + t.name);
             munmap(const_cast<void*>(map), size);
             ::close(fd);

@@ -65,6 +65,12 @@ _TYPE_TRAITS: Dict[int, Tuple[int, int]] = {
     GGMLType.Q5_0: (32, 22),
     GGMLType.Q5_1: (32, 24),
     GGMLType.Q8_0: (32, 34),
+    # K-quants: 256-element super-blocks.  Q6_K is the one K-quant worth
+    # reading for this model family (per-channel weights quantize well to it);
+    # Q2_K..Q5_K and Q8_K (an un-stored intermediate in ggml's matmul path,
+    # ggml-quants.c quantize_row_q8_K) are out of scope — get() raises with
+    # a clear message and get_raw() still works.
+    GGMLType.Q6_K: (256, 210),
 }
 
 _NUMPY_DTYPES: Dict[int, np.dtype] = {
@@ -140,6 +146,91 @@ def dequantize_q4_0(raw: np.ndarray, nelements: int) -> np.ndarray:
     hi = (nibs >> 4).astype(np.int8) - 8
     out = np.concatenate([lo, hi], axis=1).astype(np.float32) * scales
     return out.reshape(-1)[:nelements]
+
+
+def dequantize_q4_1(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q4_1: blocks of 32 = f16 scale d + f16 min m + 16 nibble bytes
+    (x_i = nib_i * d + m; low nibbles are elements 0-15).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q4_1."""
+    blocks = raw.reshape(-1, 20)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    nibs = blocks[:, 4:]
+    lo = (nibs & 0x0F).astype(np.float32)
+    hi = (nibs >> 4).astype(np.float32)
+    out = np.concatenate([lo, hi], axis=1) * d + m
+    return out.reshape(-1)[:nelements]
+
+
+def _q5_quants(blocks: np.ndarray, qh_off: int) -> np.ndarray:
+    """Shared Q5_0/Q5_1 5-bit reconstruction: 4-bit nibbles + a 32-bit
+    high-bit word per block; element j takes qh bit j (low nibbles are
+    elements 0-15, high nibbles 16-31)."""
+    qh = blocks[:, qh_off:qh_off + 4].copy().view(np.uint32)  # (nb, 1)
+    nibs = blocks[:, qh_off + 4:]
+    bit = np.arange(16, dtype=np.uint32)
+    hi0 = ((qh >> bit) & 1).astype(np.uint8) << 4           # elements 0-15
+    hi1 = ((qh >> (bit + 16)) & 1).astype(np.uint8) << 4    # elements 16-31
+    lo = (nibs & 0x0F) | hi0
+    hi = (nibs >> 4) | hi1
+    return np.concatenate([lo, hi], axis=1).astype(np.float32)
+
+
+def dequantize_q5_0(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q5_0: f16 scale + 4-byte high bits + 16 nibble bytes
+    (x_i = (q5_i - 16) * d).  Matches ggml-quants.c dequantize_row_q5_0."""
+    blocks = raw.reshape(-1, 22)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    q = _q5_quants(blocks, qh_off=2) - 16.0
+    return (q * d).reshape(-1)[:nelements]
+
+
+def dequantize_q5_1(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q5_1: f16 scale + f16 min + 4-byte high bits + 16 nibble bytes
+    (x_i = q5_i * d + m).  Matches ggml-quants.c dequantize_row_q5_1."""
+    blocks = raw.reshape(-1, 24)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    q = _q5_quants(blocks, qh_off=4)
+    return (q * d + m).reshape(-1)[:nelements]
+
+
+def dequantize_q6_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q6_K: 256-element super-blocks = ql[128] low nibbles, qh[64] 2-bit
+    highs, 16 int8 group scales, f16 d (x = d * sc[g] * (q6 - 32)).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q6_K."""
+    blocks = raw.reshape(-1, 210)
+    nb = blocks.shape[0]
+    ql = blocks[:, :128].reshape(nb, 2, 2, 32)       # (nb, half, lo/hi32, 32)
+    qh = blocks[:, 128:192].reshape(nb, 2, 32)       # (nb, half, 32)
+    sc = blocks[:, 192:208].view(np.int8).reshape(nb, 2, 8).astype(np.float32)
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)  # (nb,1)
+
+    # per half: quadrants q1..q4 of 32 elements each
+    q1 = (ql[:, :, 0] & 0xF) | (((qh >> 0) & 3) << 4)
+    q2 = (ql[:, :, 1] & 0xF) | (((qh >> 2) & 3) << 4)
+    q3 = (ql[:, :, 0] >> 4) | (((qh >> 4) & 3) << 4)
+    q4 = (ql[:, :, 1] >> 4) | (((qh >> 6) & 3) << 4)
+    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32) - 32.0  # (nb,2,4,32)
+
+    # scale group: quadrant k, lane l -> sc[2k + l//16]
+    lane_g = np.arange(32) // 16                     # (32,) in {0,1}
+    quad = np.arange(4)[:, None] * 2 + lane_g[None, :]   # (4, 32) indices 0..7
+    scales = sc[:, :, quad]                          # (nb, 2, 4, 32)
+    y = d[:, :, None, None] * scales * q             # d broadcasts over halves
+    return y.reshape(-1)[:nelements]
+
+
+# Every quantized type the reader advertises in _TYPE_TRAITS has a
+# dequantizer here; get() never raises on an advertised type.
+_DEQUANTIZERS = {
+    GGMLType.Q8_0: dequantize_q8_0,
+    GGMLType.Q4_0: dequantize_q4_0,
+    GGMLType.Q4_1: dequantize_q4_1,
+    GGMLType.Q5_0: dequantize_q5_0,
+    GGMLType.Q5_1: dequantize_q5_1,
+    GGMLType.Q6_K: dequantize_q6_k,
+}
 
 
 def quantize_q8_0(x: np.ndarray) -> np.ndarray:
@@ -291,10 +382,9 @@ class GGUFReader:
         raw = self.get_raw(name)
         if info.ggml_type == GGMLType.BF16:
             arr = bf16_to_f32(raw.view(np.uint16)).reshape(info.shape)
-        elif info.ggml_type == GGMLType.Q8_0:
-            arr = dequantize_q8_0(raw, info.nelements).reshape(info.shape)
-        elif info.ggml_type == GGMLType.Q4_0:
-            arr = dequantize_q4_0(raw, info.nelements).reshape(info.shape)
+        elif info.ggml_type in _DEQUANTIZERS:
+            arr = _DEQUANTIZERS[info.ggml_type](raw, info.nelements
+                                                ).reshape(info.shape)
         elif info.ggml_type in _NUMPY_DTYPES:
             arr = raw.view(_NUMPY_DTYPES[info.ggml_type]).reshape(info.shape)
         else:
@@ -369,12 +459,17 @@ def _write_value(f, v: Any, vtype: Optional[GGUFValueType] = None, nested: bool 
 class GGUFWriter:
     """Write a GGUF v3 file: add_kv / add_tensor, then write(path)."""
 
-    def __init__(self, arch: Optional[str] = None):
+    def __init__(self, arch: Optional[str] = None,
+                 alignment: int = GGUF_DEFAULT_ALIGNMENT):
+        if alignment <= 0 or (alignment & (alignment - 1)) != 0:
+            raise ValueError(f"alignment must be a power of two, got {alignment}")
         self.kv: List[Tuple[str, Any, Optional[GGUFValueType]]] = []
         self.tensor_data: List[Tuple[GGUFTensorInfo, bytes]] = []
-        self.alignment = GGUF_DEFAULT_ALIGNMENT
+        self.alignment = alignment
         if arch is not None:
             self.add_kv("general.architecture", arch)
+        if alignment != GGUF_DEFAULT_ALIGNMENT:
+            self.add_uint32("general.alignment", alignment)
 
     def add_kv(self, key: str, value: Any, vtype: Optional[GGUFValueType] = None):
         self.kv.append((key, value, vtype))
@@ -387,15 +482,34 @@ class GGUFWriter:
         array = np.ascontiguousarray(array)
         if ggml_type is None:
             ggml_type = _NP_TO_GGML[array.dtype]
-        if ggml_type == GGMLType.BF16 and array.dtype != np.uint16:
-            data = f32_to_bf16_u16(array).tobytes()
+        if ggml_type == GGMLType.BF16:
+            data = (array.tobytes() if array.dtype == np.uint16
+                    else f32_to_bf16_u16(array).tobytes())
         elif ggml_type == GGMLType.Q8_0 and array.dtype != np.uint8:
             data = quantize_q8_0(array).tobytes()
+        elif ggml_type in _NUMPY_DTYPES:
+            # cast to the dtype the label implies — writing f32 bytes under an
+            # F16 label would silently corrupt the file
+            data = array.astype(_NUMPY_DTYPES[ggml_type], copy=False).tobytes()
         else:
-            data = array.tobytes()
+            raise TypeError(
+                f"{name}: cannot encode dtype {array.dtype} as "
+                f"{GGMLType(ggml_type).name}; use add_tensor_raw for "
+                "pre-quantized block data")
         info = GGUFTensorInfo(name=name, shape=array.shape,
                               ggml_type=GGMLType(ggml_type), offset=0)
         self.tensor_data.append((info, data))
+
+    def add_tensor_raw(self, name: str, raw: bytes, shape: Tuple[int, ...],
+                       ggml_type: GGMLType):
+        """Add pre-quantized block bytes with an explicit logical shape."""
+        info = GGUFTensorInfo(name=name, shape=tuple(int(d) for d in shape),
+                              ggml_type=GGMLType(ggml_type), offset=0)
+        if info.nbytes != len(raw):
+            raise ValueError(
+                f"{name}: {len(raw)} raw bytes but shape {shape} of "
+                f"{GGMLType(ggml_type).name} implies {info.nbytes}")
+        self.tensor_data.append((info, bytes(raw)))
 
     def write(self, path: str):
         # assign aligned offsets
