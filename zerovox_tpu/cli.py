@@ -107,16 +107,26 @@ def main(argv=None):
             import jax.numpy as jnp
             params = cast_params(params, jnp.bfloat16)
             cfg = cfg.replace(compute_dtype="bfloat16")
+        from zerovox_tpu.io.wav import StreamingWavWriter
         s = StreamingSynthesizer(params, cfg, chunk_frames=args.chunk_frames,
                                  overlap=args.overlap)
         t0 = time.perf_counter()
-        chunks = []
-        for i, chunk in enumerate(s.stream(src, pun, style, n)):
-            if i == 0:
-                print(f"TTFA {1e3*(time.perf_counter()-t0):.1f} ms "
-                      f"(incl. compile on first call)", file=sys.stderr)
-            chunks.append(chunk)
-        wav = np.concatenate(chunks, axis=1)[0]
+        # incremental delivery: each chunk is flushed to disk the moment it
+        # is computed — TTFA is real at the file boundary, unlike the
+        # reference's single write at the end (src/zerovox.cpp:337-391)
+        with StreamingWavWriter(args.output, cfg.sampling_rate) as sink:
+            for i, chunk in enumerate(s.stream(src, pun, style, n)):
+                sink.write(chunk)
+                if i == 0:
+                    print(f"TTFA {1e3*(time.perf_counter()-t0):.1f} ms "
+                          f"(incl. compile on first call; first "
+                          f"{sink.samples_written} samples on disk)",
+                          file=sys.stderr)
+            total = sink.samples_written
+        print(f"wrote {args.output}: {total} samples "
+              f"({total/cfg.sampling_rate:.2f}s @ {cfg.sampling_rate} Hz, "
+              "streamed)")
+        return 0
     else:
         from zerovox_tpu.runtime.engine import TTSEngine
         buckets = tuple(int(b) for b in args.buckets.split(",") if b)

@@ -49,6 +49,62 @@ def write_wav(path: str, wav: np.ndarray, sampling_rate: int,
         f.write(data)
 
 
+class StreamingWavWriter:
+    """Incremental 16-bit PCM WAV sink: chunks hit disk as they arrive.
+
+    The reference (and our batch path) writes the file once at the end
+    (/root/reference/src/zerovox.cpp:337-391), so time-to-first-audio never
+    reaches a consumer.  This writer emits a RIFF header with placeholder
+    sizes, appends+flushes each PCM chunk immediately (a tail -f / pipe
+    consumer can start playback), and patches the RIFF/data sizes on close.
+    """
+
+    def __init__(self, path: str, sampling_rate: int):
+        self.path = path
+        self._f = open(path, "wb")
+        self._data_bytes = 0
+        self._f.write(b"RIFF")
+        self._f.write(struct.pack("<I", 36))            # patched on close
+        self._f.write(b"WAVE")
+        self._f.write(b"fmt ")
+        self._f.write(struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                                  sampling_rate * 2, 2, 16))
+        self._f.write(b"data")
+        self._f.write(struct.pack("<I", 0))             # patched on close
+        self._f.flush()
+
+    def write(self, wav_chunk: np.ndarray):
+        """Append a float chunk in [-1, 1]; bytes are on disk on return."""
+        wav_chunk = np.asarray(wav_chunk)
+        if wav_chunk.ndim == 2:
+            if wav_chunk.shape[0] != 1:
+                raise ValueError(f"expected mono, got shape {wav_chunk.shape}")
+            wav_chunk = wav_chunk[0]
+        data = float_to_pcm16(wav_chunk).tobytes()
+        self._f.write(data)
+        self._f.flush()
+        self._data_bytes += len(data)
+
+    @property
+    def samples_written(self) -> int:
+        return self._data_bytes // 2
+
+    def close(self):
+        if self._f.closed:
+            return
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._data_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._data_bytes))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_wav(path: str):
     """Minimal RIFF reader (PCM16 mono) -> (float32 array in [-1,1], rate)."""
     with open(path, "rb") as f:
