@@ -55,6 +55,16 @@ def variance_predictor(x: jnp.ndarray, p: dict, cfg: ZeroVoxConfig) -> jnp.ndarr
     return linear(h, p["lin_w"], p["lin_b"])[..., 0]
 
 
+def phoneme_mask(num_phonemes: jnp.ndarray, P: int) -> jnp.ndarray:
+    """(B,) valid counts -> (B, P) bool mask (True = real phoneme).
+
+    Used by every entry point (pipeline/engine/streaming/training) when
+    cfg.use_attention_mask is set; the reference attends freely over padding
+    (src/fs2encoder.cpp:103-110), so the default leaves this off."""
+    idx = jnp.arange(P, dtype=jnp.int32)
+    return idx[None, :] < jnp.asarray(num_phonemes, jnp.int32)[:, None]
+
+
 def encode(params: dict, cfg: ZeroVoxConfig,
            src_seq: jnp.ndarray, puncts: jnp.ndarray,
            style_embed: jnp.ndarray,

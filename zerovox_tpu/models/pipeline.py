@@ -43,7 +43,11 @@ def synthesize(params: dict, cfg: ZeroVoxConfig,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     style_embed = style_embed.astype(dtype)
 
-    features, log_dur = fs2_encoder.encode(params, cfg, src_seq, puncts, style_embed)
+    mask = None
+    if cfg.use_attention_mask and num_phonemes is not None:
+        mask = fs2_encoder.phoneme_mask(num_phonemes, src_seq.shape[-1])
+    features, log_dur = fs2_encoder.encode(params, cfg, src_seq, puncts,
+                                           style_embed, phoneme_mask=mask)
 
     durations = durations_from_log(log_dur, cfg.max_seq_len)
     hidden, mel_len = length_regulate(features, durations, cfg.max_seq_len,
