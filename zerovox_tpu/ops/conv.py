@@ -26,6 +26,33 @@ from jax import lax
 
 _DIMENSION_NUMBERS = ("NHC", "HIO", "NHC")
 
+# --- ggml f16-staging simulation ------------------------------------------
+# The reference stages EVERY conv through f16: weights are stored f16
+# (/root/reference/utils/zv2gguf.py:156-161) and ggml's im2col forces the
+# patch matrix to f16 regardless of the activation dtype
+# (/root/reference/ggml/src/ggml.c:3776), accumulating in f32.  This flag
+# reproduces that precision profile so the f32 parity path can be compared
+# against actual ggml numerics (tolerance documented in docs/ARCHITECTURE.md
+# and BASELINE.md).  Trace-time only: re-jit after toggling.
+_F16_STAGING = False
+
+
+class f16_staging:
+    """Context manager: run convs with f16 inputs/weights + f32 accumulate."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _F16_STAGING
+        self.prev = _F16_STAGING
+        _F16_STAGING = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _F16_STAGING
+        _F16_STAGING = self.prev
+
 # XLA's TPU conv lowering wastes the 128-lane MXU tiles when the channel count
 # is small: measured on v5e, a C=32 dilated conv runs at ~3 TFLOP/s-effective
 # while the equivalent im2col matmul (L, K*C) @ (K*C, C) runs at ~40 TFLOP/s
@@ -49,7 +76,11 @@ def conv1d_im2col(x: jnp.ndarray,
     cols = jnp.concatenate(
         [lax.dynamic_slice_in_dim(xp, j * dilation, T_out, axis=1)
          for j in range(K)], axis=-1)
-    out = jnp.einsum("blc,co->blo", cols, w.reshape(K * Cin, -1),
+    wm = w.reshape(K * Cin, -1)
+    if _F16_STAGING:
+        cols = cols.astype(jnp.float16)
+        wm = wm.astype(jnp.float16)
+    out = jnp.einsum("blc,co->blo", cols, wm,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         out = out + b
@@ -71,13 +102,18 @@ def conv1d(x: jnp.ndarray,
     if (stride == 1 and K > 1
             and max(Cin, Cout) <= _IM2COL_MAX_CHANNELS):
         return conv1d_im2col(x, w, b, padding=padding, dilation=dilation)
+    xc, wc = x, w
+    if _F16_STAGING:
+        xc = x.astype(jnp.float16)
+        wc = w.astype(jnp.float16)
     out = lax.conv_general_dilated(
-        x, w,
+        xc, wc,
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        preferred_element_type=(jnp.float32 if (x.dtype == jnp.float32
+                                                or _F16_STAGING) else None),
     )
     out = out.astype(x.dtype)
     if b is not None:
