@@ -73,13 +73,31 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     blocks of C channels); the DMA fetches rho x the rows and the fold to
     (window, rho*C) happens as an in-VMEM reshape, so XLA never materialises
     a folded layout at the kernel boundary.
+
+    The halo fetch is double-buffered: tile t+1's HBM->VMEM copy is issued
+    before tile t's compute, so DMA overlaps the MXU chain instead of
+    serializing with it (x_vmem/sem carry 2 slots).
     """
     t = pl.program_id(0)
+    n = pl.num_programs(0)
     window = t_blk + 2 * halo
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(t * t_blk * rho, window * rho)], x_vmem, sem)
-    dma.start()
-    dma.wait()
+
+    def fetch(slot, idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(idx * t_blk * rho, window * rho)],
+            x_vmem.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        fetch(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        fetch(jax.lax.rem(t + 1, 2), t + 1).start()
+
+    fetch(slot, t).wait()
 
     # Every conv zero-pads *its own* input at the utterance boundary (torch /
     # ggml semantics); inside the halo, bias-propagated values must therefore
@@ -105,7 +123,7 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
 
     # compute in f32: Mosaic's rotate requires 32-bit data, and the stage is
     # bandwidth-bound so the extra MXU cost is immaterial
-    x = x_vmem[:]
+    x = x_vmem[slot]
     if rho > 1:
         x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
     x = x.astype(jnp.float32)
@@ -185,7 +203,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # weights, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),     # biases, whole
         ],
@@ -193,8 +211,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, lanes), xf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((t_blk + 2 * halo, lanes), xf.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, t_blk + 2 * halo, lanes), xf.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )
@@ -265,7 +283,7 @@ def mrf_stage_unfolded(x: jnp.ndarray,
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -273,8 +291,8 @@ def mrf_stage_unfolded(x: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded * rho, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM(((t_blk + 2 * halo) * rho, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, (t_blk + 2 * halo) * rho, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )
