@@ -65,8 +65,13 @@ def _stage_halo(dilation_sets: Sequence[Sequence[int]], k: int, rho: int) -> int
     return worst
 
 
+def _conv_reach(deltas):
+    """(left, right) block reach of one folded conv's delta schedule."""
+    return -deltas[0], deltas[-1]
+
+
 def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
-                schedules, halo, t_blk, inv_n, nblk, rho=1):
+                schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False):
     """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile.
 
     With rho > 1 the HBM array is *unfolded* (rows are rho x smaller lane
@@ -75,8 +80,15 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     a folded layout at the kernel boundary.
 
     The halo fetch is double-buffered: tile t+1's HBM->VMEM copy is issued
-    before tile t's compute, so DMA overlaps the MXU chain instead of
-    serializing with it (x_vmem/sem carry 2 slots).
+    before tile t's compute, so DMA overlaps the MXU chain (x_vmem/sem carry
+    2 slots).
+
+    Shifted conv reads are SHRINKING-WINDOW STATIC SLICES, not rolls: each
+    conv consumes its block reach from the margins, so every delta's operand
+    is a static row slice of the previous intermediate.  v5e measurement vs
+    the roll formulation: the stages were VPU-shuffle-bound (54 full-window
+    rolls per tile), not MXU-bound; slices remove that traffic and lift the
+    32-bit-data restriction rolls imposed.
     """
     t = pl.program_id(0)
     n = pl.num_programs(0)
@@ -99,47 +111,76 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
 
     fetch(slot, t).wait()
 
-    # Every conv zero-pads *its own* input at the utterance boundary (torch /
-    # ggml semantics); inside the halo, bias-propagated values must therefore
-    # be masked back to zero for rows whose global block index is out of range.
-    row = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-    g = t * t_blk + row - halo
-    in_range = jnp.logical_and(g >= 0, g < nblk)
+    # global block index of window row 0
+    g0 = t * t_blk - halo
 
-    def conv(xt, spec):
+    def mask_oob(xt, off):
+        """Zero rows whose global block index is outside [0, nblk): every
+        conv zero-pads *its own* input at the utterance boundary (torch/ggml
+        semantics), so bias-propagated halo values must be re-zeroed."""
+        row = jax.lax.broadcasted_iota(jnp.int32, (xt.shape[0], 1), 0)
+        g = g0 + off + row
+        in_range = jnp.logical_and(g >= 0, g < nblk)
+        return jnp.where(in_range, xt, jnp.zeros((), xt.dtype))
+
+    def conv(xt, off, spec):
+        """One folded conv on rows covering [off, off+len): returns
+        (y, new_off) with y covering [off+rl, off+len-rr)."""
         w_start, deltas = spec
-        xt = jnp.where(in_range, xt, jnp.zeros((), xt.dtype))
+        rl, rr = _conv_reach(deltas)
+        xt = mask_oob(xt, off)
+        out_len = xt.shape[0] - rl - rr
         y = None
-        n_rows = xt.shape[0]
         for di, delta in enumerate(deltas):
-            # roll requires a non-negative shift; -delta mod n_rows is exact
-            shifted = pltpu.roll(xt, (-delta) % n_rows, 0) if delta else xt
+            shifted = xt[rl + delta: rl + delta + out_len]
+            if dot_bf16:
+                shifted = shifted.astype(jnp.bfloat16)
+                w = w_ref[w_start + di]
+            else:
+                w = w_ref[w_start + di].astype(jnp.float32)
             prod = jax.lax.dot_general(
-                shifted, w_ref[w_start + di].astype(jnp.float32),
+                shifted, w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             y = prod if y is None else y + prod
-        return y
+        return y, off + rl
 
-    # compute in f32: Mosaic's rotate requires 32-bit data, and the stage is
-    # bandwidth-bound so the extra MXU cost is immaterial
+    # chain state stays f32: Mosaic rejects bf16 vector compares (leaky) and
+    # the VPU work is elementwise either way; dot_bf16 narrows only the MXU
+    # operands inside conv()
     x = x_vmem[slot]
     if rho > 1:
         x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
-    x = x.astype(jnp.float32)
+    cdtype = jnp.float32
+    x = x.astype(cdtype)
     acc = None
+    acc_off = None
     for rb_schedule in schedules:
-        h = x
+        h, off = x, 0
         for (c1_spec, c1_b, c2_spec, c2_b) in rb_schedule:
             xt = _leaky(h)
-            xt = (conv(xt, c1_spec)
-                  + b_ref[c1_b].astype(jnp.float32)).astype(x.dtype)
+            xt, o1 = conv(xt, off, c1_spec)
+            xt = (xt + b_ref[c1_b].astype(jnp.float32)).astype(cdtype)
             xt = _leaky(xt)
-            xt = (conv(xt, c2_spec)
-                  + b_ref[c2_b].astype(jnp.float32)).astype(x.dtype)
-            h = h + xt
-        acc = h if acc is None else acc + h
-    out = (acc * jnp.asarray(inv_n, acc.dtype))[halo:halo + t_blk]
+            xt, o2 = conv(xt, o1, c2_spec)
+            xt = (xt + b_ref[c2_b].astype(jnp.float32)).astype(cdtype)
+            # align the residual to xt's (smaller) coverage
+            lead = o2 - off
+            h = h[lead: lead + xt.shape[0]] + xt
+            off = o2
+        if acc is None:
+            acc, acc_off = h, off
+        else:  # align resblock outputs before summing
+            if off > acc_off:
+                acc = acc[off - acc_off: off - acc_off + h.shape[0]]
+                acc_off = off
+            elif acc_off > off:
+                h = h[acc_off - off: acc_off - off + acc.shape[0]]
+            n_rows = min(acc.shape[0], h.shape[0])
+            acc = acc[:n_rows] + h[:n_rows]
+    start = halo - acc_off
+    out = (acc.astype(jnp.float32)
+           * jnp.asarray(inv_n, jnp.float32))[start:start + t_blk]
     if rho > 1:
         out = out.reshape(t_blk * rho, out.shape[-1] // rho)  # in-VMEM unfold
     o_ref[:] = out.astype(o_ref.dtype)
@@ -151,19 +192,26 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      kernel_size: int,
                      rho: int,
                      t_blk: int = 512,
-                     interpret: bool | None = None) -> jnp.ndarray:
+                     interpret: bool | None = None,
+                     dot_bf16: bool | None = None) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
 
     xf: (B, nblk, 128); blocks: list of resblock param dicts
     ({"convs1": [{"w","b"}..], "convs2": [...]}); dilation_sets[j] are the
     convs1 dilations of resblock j.  Returns (B, nblk, 128):
     sum_j resblock_j(xf) / len(blocks), matching the XLA folded path.
+
+    dot_bf16 (default: on iff xf is bf16) feeds the MXU bf16 operands with
+    f32 accumulation — the bf16-serving numerics of the XLA folded path and
+    ~3x the f32 MXU rate.  The f32 parity path keeps f32 dots.
     """
     B, nblk, lanes = xf.shape
     n_rb = len(blocks)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dot_bf16 is None:
+        dot_bf16 = xf.dtype == jnp.bfloat16
 
     # ---- static schedules + stacked weights/biases --------------------
     w_mats, b_vecs, schedules = [], [], []
@@ -197,7 +245,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
 
     kern = functools.partial(
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
-        inv_n=1.0 / n_rb, nblk=nblk)
+        inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16)
 
     call = pl.pallas_call(
         kern,
