@@ -66,12 +66,14 @@ class ZeroVoxConfig:
     # no mask).  Keep that for bit parity; set True for the corrected behaviour.
     use_attention_mask: bool = False
     # Vocoder MRF-stage implementation:
-    #   "auto"   — pallas on TPU (all stages with C <= 128, incl. the rho=1
-    #              C=128 stage), lane-folded XLA elsewhere (default)
+    #   "auto"   — pallas on TPU (every MRF stage, C <= 256: rho-folded for
+    #              C < 128, rho=1 multi-lane-tile for C in {128, 256}),
+    #              lane-folded XLA elsewhere (default)
     #   "pallas" — force the fused MRF kernel (ops.pallas.folded_mrf)
     #   "folded" — lane-dense XLA block-matmul path (see ops.conv.fold)
     #   "native" — plain XLA convs (baseline / debugging)
-    # Measured v5e full vocoder: pallas 18.1 ms, folded 20.7 ms, native 33 ms.
+    # Measured v5e (r2 slice-based kernel): MRF stages 0.22/0.41/1.06/1.37 ms
+    # vs XLA folded ~0.39/0.64+/... — see docs/ARCHITECTURE.md §11.
     vocoder_backend: str = "auto"
 
     # ------------------------------------------------------------------ derived

@@ -114,7 +114,7 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
                         for j in range(cfg.num_resblocks)]
         last = i == len(cfg.upsample_scales) - 1
-        if backend == "pallas" and C_stage <= 128:
+        if backend == "pallas" and C_stage <= 256:
             from ..ops.pallas.folded_mrf import folded_mrf_stage
             if rho > 1:
                 c = folded_mrf_stage(
