@@ -43,11 +43,10 @@ class StreamingSynthesizer:
                  chunk_frames: int = 60, overlap: int = 16):
         if chunk_frames <= 0 or overlap < 0:
             raise ValueError("chunk_frames must be > 0, overlap >= 0")
-        # small chunk windows favor the XLA folded path (the fused pallas
-        # kernel's per-call DMA overhead dominates at short L): measured TTFA
-        # 69.9 ms folded vs 90.3 ms pallas
-        if cfg.vocoder_backend == "auto":
-            cfg = cfg.replace(vocoder_backend="folded")
+        # r1 forced the folded XLA path here (the roll-based pallas kernel's
+        # per-call overhead dominated at short chunk L: 69.9 vs 90.3 ms TTFA);
+        # the r2 slice-based kernel reversed that (35.6 vs 38.8 ms p50), so
+        # "auto" (pallas on TPU) now stands.
         self.params = params
         self.cfg = cfg
         self.chunk_frames = chunk_frames
@@ -65,13 +64,35 @@ class StreamingSynthesizer:
             hidden, mel_len = length_regulate(
                 features, durations, cfg_.max_seq_len, num_phonemes=num_phonemes)
             mel = styletts_decoder.decode(params, cfg_, hidden, style_embed)
-            return mel, mel_len
+            # max computed in-graph: an eager jnp.max on the TPU would pay a
+            # separate compile + dispatch on the TTFA path
+            return mel, mel_len, jnp.max(mel_len)
 
         self._prefix = prefix
         # vocoder chunk programs keyed (window_size, emit_from, emit_frames);
         # any chunk geometry (incl. a short tail when chunk_frames does not
-        # divide max_seq_len) maps to a handful of keys, compiled lazily
+        # divide max_seq_len) maps to a handful of keys, compiled lazily.
+        # _programs consume a pre-sliced window; _sprograms take the full mel
+        # + a traced window start and slice in-graph (the streaming path —
+        # no eager device ops on the latency path).
         self._programs = {}
+        self._sprograms = {}
+
+    def _sprogram(self, window: int, emit_from: int, emit_frames: int):
+        """Jitted slice-and-vocode program (full mel + traced start in)."""
+        key = (window, emit_from, emit_frames)
+        if key not in self._sprograms:
+            cfg_ = self.cfg
+            hop = cfg_.hop_size
+
+            @jax.jit
+            def f(params, mel, ws):
+                win = jax.lax.dynamic_slice_in_dim(mel, ws, window, axis=1)
+                wav = hifigan.vocode(params, cfg_, win)
+                return wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+
+            self._sprograms[key] = f
+        return self._sprograms[key]
 
     def program(self, window: int, emit_from: int, emit_frames: int):
         """The jitted vocoder program for one window geometry."""
@@ -94,13 +115,14 @@ class StreamingSynthesizer:
         cfg = self.cfg
         src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
         style = jnp.zeros((batch, cfg.d_model), jnp.float32)
-        mel, _ = self._prefix(self.params, src, src, style,
-                              jnp.zeros((batch,), jnp.int32))
+        mel, _, _ = self._prefix(self.params, src, src, style,
+                                 jnp.zeros((batch,), jnp.int32))
         T = cfg.max_seq_len
-        for _, size, e_from, e_frames in self.chunk_plan(
+        for ws, size, e_from, e_frames in self.chunk_plan(
                 T, -(-T // self.chunk_frames)):
             self.program(size, e_from, e_frames)(
                 self.params, jnp.zeros((batch, size, cfg.num_mels), mel.dtype))
+            self._sprogram(size, e_from, e_frames)(self.params, mel, ws)
 
     def chunk_plan(self, T: int, n_chunks: int):
         """Static plan: (window_start, window_size, emit_from, emit_frames)
@@ -150,13 +172,23 @@ class StreamingSynthesizer:
         else:
             num_phonemes = jnp.asarray(num_phonemes, jnp.int32)
 
-        mel, mel_len = self._prefix(self.params, src_seq, puncts,
-                                    style_embed, num_phonemes)
-        max_len = int(jax.device_get(jnp.max(mel_len)))
-        n_chunks = max(1, -(-max_len // self.chunk_frames))
+        mel, mel_len, max_len_dev = self._prefix(self.params, src_seq, puncts,
+                                                 style_embed, num_phonemes)
 
-        for chunk in self.vocode_chunks(mel, n_chunks):
-            yield np.asarray(jax.device_get(chunk))
+        # Chunk 0's geometry does not depend on mel_len, so dispatch it
+        # BEFORE fetching mel_len, then fetch chunk 0 and mel_len in ONE
+        # round trip — the ~30 ms axon-tunnel RTT is the dominant TTFA term
+        # and this removes one of the two the old path serialized.
+        ws, size, e_from, e_frames = self.chunk_plan(mel.shape[1], 1)[0]
+        first = self._sprogram(size, e_from, e_frames)(self.params, mel, ws)
+        first_h, max_len = jax.device_get((first, max_len_dev))
+        n_chunks = max(1, -(-int(max_len) // self.chunk_frames))
+        yield np.asarray(first_h)
+
+        for ws, size, e_from, e_frames in self.chunk_plan(
+                mel.shape[1], n_chunks)[1:]:
+            yield np.asarray(jax.device_get(
+                self._sprogram(size, e_from, e_frames)(self.params, mel, ws)))
 
     def synthesize_full(self, src_seq, puncts, style_embed, num_phonemes=None
                         ) -> Tuple[np.ndarray, int]:
