@@ -310,6 +310,80 @@ def conv1d_folded(xf: jnp.ndarray,
     return out
 
 
+def contracted_layout(k: int, rho: int, dilation: int, C: int):
+    """Exactly-touched operand layout of one folded same-length conv.
+
+    A folded conv's output block row (rho timesteps of C channels) reads, per
+    kernel tap tau = (i - (k-1)/2)*dilation, the run of rho input timesteps
+    [tau, tau + rho).  Overlapping/adjacent runs merge; the union is usually
+    much smaller than the n_delta full block rows the W_delta formulation
+    multiplies against (k*rho touched timesteps vs n_delta*rho), e.g. stage-4
+    geometry (rho=4, d=1): 6 timesteps = 192 lanes vs 3 deltas = 384.
+
+    Returns (segments, pieces, total):
+      segments: merged [a, b) timestep ranges relative to the output block
+      pieces:   [(q, lo, hi)] — row-aligned lane windows: row offset q of the
+                folded array, lane range [lo, hi) within that row; operand =
+                lane-concat of the pieces
+      total:    operand width in lanes
+    """
+    half = (k - 1) // 2
+    taps = sorted((i - half) * dilation for i in range(k))
+    segments = []
+    for t in taps:
+        a, b = t, t + rho
+        if segments and a <= segments[-1][1]:
+            segments[-1][1] = max(segments[-1][1], b)
+        else:
+            segments.append([a, b])
+    lanes = rho * C
+    pieces = []
+    for a, b in segments:
+        glo, ghi = a * C, b * C
+        while glo < ghi:
+            q = glo // lanes
+            qe = (q + 1) * lanes
+            pieces.append((q, glo - q * lanes, min(ghi, qe) - q * lanes))
+            glo = min(ghi, qe)
+    total = sum(hi - lo for _, lo, hi in pieces)
+    return [tuple(s) for s in segments], pieces, total
+
+
+def build_wcontract(w: jnp.ndarray, rho: int, dilation: int):
+    """Contracted-operand weight of a folded same-length conv.
+
+    Returns (pieces, W) with W of shape (total, rho*Cout): concatenating the
+    `pieces` lane windows of the folded input (per output block row) and
+    multiplying by W reproduces conv1d_folded's W_delta sum exactly, with
+    ceil(total/128) MXU passes instead of n_delta.  Cin may differ from Cout
+    (operand lanes are Cin-indexed, output columns rho*Cout — used by the
+    folded-output tail conv); same-length MRF use keeps Cin == Cout.
+    """
+    import numpy as np
+    k, Cin, Cout = w.shape
+    C = Cin
+    half = (k - 1) // 2
+    segments, pieces, total = contracted_layout(k, rho, dilation, C)
+    # tap_idx[row, j_out] = kernel tap index (or k -> zero row)
+    tap_idx = np.full((total, rho), k, np.int32)
+    cin_of = np.zeros(total, np.int32)
+    ri = 0
+    for a, b in segments:
+        for c in range(a, b):
+            for cin in range(C):
+                cin_of[ri] = cin
+                for i in range(k):
+                    j = c - (i - half) * dilation
+                    if 0 <= j < rho:
+                        tap_idx[ri, j] = i
+                ri += 1
+    assert ri == total
+    w_ext = jnp.concatenate([w, jnp.zeros((1, Cin, Cout), w.dtype)], axis=0)
+    # (total, rho, Cout) -> (total, rho*Cout)
+    W = w_ext[jnp.asarray(tap_idx), jnp.asarray(cin_of)[:, None], :]
+    return pieces, W.reshape(total, rho * Cout)
+
+
 def conv1d_folded_out(xf: jnp.ndarray,
                       w: jnp.ndarray,
                       b: Optional[jnp.ndarray] = None,
@@ -344,6 +418,47 @@ def conv1d_folded_out(xf: jnp.ndarray,
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
     out = out.astype(xf.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, rho_out)
+    return out
+
+
+def conv1d_folded_out_contract(xf: jnp.ndarray,
+                               w: jnp.ndarray,
+                               b: Optional[jnp.ndarray] = None,
+                               padding: int = 0,
+                               rho_in: int = 1,
+                               rho_out: int = 128) -> jnp.ndarray:
+    """conv1d_folded_out via ONE contracted matmul instead of n_delta strided
+    row gathers.
+
+    The W_delta formulation of the rho_out=128 tail reads ~k/rho_in + rho_out
+    strided slices of the folded activation (xpad[:, d::stride]); each slice
+    touches every 32nd row, so HBM serves nearly the whole array per delta —
+    measured 0.81 ms for the production tail, ~20x its roofline.  Here the
+    input is first reshaped to rho_out-folded rows (free, row-major), then one
+    lane-concat of the exactly-touched windows (build_wcontract) feeds a
+    single dense (total, rho_out*Cout) matmul: one read of the activation,
+    one ~4k-wide dot.  Requires stride-1 same-length (2*padding == k-1),
+    rho_in | rho_out, and nblk_in % (rho_out/rho_in) == 0.
+    """
+    k, Cin, Cout = w.shape
+    B, nblk_in, rc = xf.shape
+    assert rc == rho_in * Cin and rho_out % rho_in == 0
+    assert 2 * padding == k - 1, "contracted tail requires same-length conv"
+    stride = rho_out // rho_in
+    assert nblk_in % stride == 0
+    nblk_out = nblk_in // stride
+    x = xf.reshape(B, nblk_out, rho_out * Cin)
+    pieces, W = build_wcontract(w, rho_out, 1)
+    qmin = min(q for q, _, _ in pieces)
+    qmax = max(q for q, _, _ in pieces)
+    xp = jnp.pad(x, ((0, 0), (-qmin, qmax), (0, 0)))
+    opnd = jnp.concatenate(
+        [xp[:, -qmin + q: -qmin + q + nblk_out, lo:hi]
+         for q, lo, hi in pieces], axis=-1)
+    out = jnp.einsum("blc,co->blo", opnd, W,
+                     preferred_element_type=jnp.float32).astype(xf.dtype)
     if b is not None:
         out = out + jnp.tile(b, rho_out)
     return out

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..conv import _folded_weight_terms
+from ..conv import _folded_weight_terms, build_wcontract, contracted_layout
 
 
 def _conv_schedule(k: int, rho: int, dilation: int) -> List[int]:
@@ -70,7 +70,7 @@ def _conv_reach(deltas):
     return -deltas[0], deltas[-1]
 
 
-def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
+def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
                 schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False):
     """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile.
 
@@ -126,9 +126,34 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     def conv(xt, off, spec):
         """One folded conv on rows covering [off, off+len): returns
         (y, new_off) with y covering [off+rl, off+len-rr)."""
-        w_start, deltas = spec
-        rl, rr = _conv_reach(deltas)
         xt = mask_oob(xt, off)
+        if spec[0] == "c":
+            # contracted operand: lane-pack the exactly-touched windows into
+            # the operand scratch, ONE dot of width `total` (= ceil(total/128)
+            # MXU passes) instead of n_delta full-width passes — the W_delta
+            # inflation fix.  Packing goes through a VMEM scratch ref because
+            # Mosaic rejects vector concat of register slices whose sublane
+            # offsets differ (the row-shifted pieces).
+            _, row_start, total, pieces = spec
+            rl = max(0, -min(q for q, _, _ in pieces))
+            rr = max(0, max(q for q, _, _ in pieces))
+            out_len = xt.shape[0] - rl - rr
+            cat = 0
+            for q, lo, hi in pieces:
+                part = xt[rl + q: rl + q + out_len, lo:hi]
+                opnd_ref[0:out_len, cat:cat + hi - lo] = part.astype(opnd_ref.dtype)
+                cat += hi - lo
+            opnd = opnd_ref[0:out_len, 0:total]
+            w = w_ref[row_start: row_start + total]
+            if not dot_bf16:
+                w = w.astype(jnp.float32)
+            y = jax.lax.dot_general(
+                opnd, w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y, off + rl
+        _, w_start, deltas = spec
+        rl, rr = _conv_reach(deltas)
         out_len = xt.shape[0] - rl - rr
         y = None
         for di, delta in enumerate(deltas):
@@ -193,7 +218,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      rho: int,
                      t_blk: int = 512,
                      interpret: bool | None = None,
-                     dot_bf16: bool | None = None) -> jnp.ndarray:
+                     dot_bf16: bool | None = None,
+                     contract: bool | None = None) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
 
     xf: (B, nblk, 128); blocks: list of resblock param dicts
@@ -204,6 +230,16 @@ def folded_mrf_stage(xf: jnp.ndarray,
     dot_bf16 (default: on iff xf is bf16) feeds the MXU bf16 operands with
     f32 accumulation — the bf16-serving numerics of the XLA folded path and
     ~3x the f32 MXU rate.  The f32 parity path keeps f32 dots.
+
+    contract (default OFF) replaces each conv's n_delta full-width W_delta
+    passes by ONE dot against the lane-packed exactly-touched input windows
+    (ops.conv.build_wcontract) — cutting the folding FLOP inflation ~1.7x in
+    MXU passes (stage C=32: 60 -> 42 per tile; C=64: 72 -> 42).  Measured on
+    v5e it LOSES: the pack must round-trip through a VMEM scratch (Mosaic
+    rejects vector concat of register slices with differing sublane offsets),
+    and that store+load sits on the critical path — C=64 stage 0.98 -> 1.80 ms,
+    C=32 stage 1.43 -> 2.34 ms.  Kept as an experimental flag; the W_delta
+    inflation is cheaper than operand repacking on this hardware.
     """
     B, nblk, lanes = xf.shape
     n_rb = len(blocks)
@@ -212,28 +248,44 @@ def folded_mrf_stage(xf: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     if dot_bf16 is None:
         dot_bf16 = xf.dtype == jnp.bfloat16
+    if contract is None:
+        contract = False
 
     # ---- static schedules + stacked weights/biases --------------------
     w_mats, b_vecs, schedules = [], [], []
+    w_rows = 0                                    # rows used in contract mode
+    halo = 0
     for j, blk in enumerate(blocks):
         rb_sched = []
+        rb_halo = 0
         for d_idx, dilation in enumerate(dilation_sets[j]):
             specs = []
             for cset, dd in (("convs1", dilation), ("convs2", 1)):
                 conv = blk[cset][d_idx]
-                mats = _build_wdelta(conv["w"], rho, dd)
-                deltas = _conv_schedule(kernel_size, rho, dd)
-                specs.append((len(w_mats), tuple(deltas)))
+                if contract:
+                    pieces, W = build_wcontract(conv["w"], rho, dd)
+                    specs.append(("c", w_rows, W.shape[0], tuple(pieces)))
+                    w_mats.append(W)
+                    w_rows += W.shape[0]
+                    rb_halo += max(max(0, -min(q for q, _, _ in pieces)),
+                                   max(0, max(q for q, _, _ in pieces)))
+                else:
+                    mats = _build_wdelta(conv["w"], rho, dd)
+                    deltas = _conv_schedule(kernel_size, rho, dd)
+                    specs.append(("d", len(w_mats), tuple(deltas)))
+                    w_mats.extend(mats[i] for i in range(mats.shape[0]))
+                    rb_halo += max(-deltas[0], deltas[-1])
                 specs.append(len(b_vecs))
-                w_mats.extend(mats[i] for i in range(mats.shape[0]))
                 b_vecs.append(jnp.tile(conv["b"], rho))
             rb_sched.append(tuple(specs))          # (c1_spec, c1_b, c2_spec, c2_b)
         schedules.append(tuple(rb_sched))
+        halo = max(halo, rb_halo)
 
-    w_all = jnp.stack(w_mats)                     # (n_w, 128, 128)
+    if contract:
+        w_all = jnp.concatenate(w_mats, axis=0)   # (sum_total, 128)
+    else:
+        w_all = jnp.stack(w_mats)                 # (n_w, 128, 128)
     b_all = jnp.stack(b_vecs)                     # (n_b, 128)
-
-    halo = _stage_halo(dilation_sets, kernel_size, rho)
     # round up to the dtype's sublane tile so DMA slices stay aligned
     sublane = 16 if xf.dtype in (jnp.bfloat16, jnp.float16) else 8
     halo = -(-halo // sublane) * sublane
@@ -247,6 +299,18 @@ def folded_mrf_stage(xf: jnp.ndarray,
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
         inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16)
 
+    scratch = [
+        pltpu.VMEM((2, t_blk + 2 * halo, lanes), xf.dtype),  # double buffer
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if contract:
+        max_total = max(spec[2]
+                        for rb in schedules for cs in rb
+                        for spec in (cs[0], cs[2]))
+        scratch.append(pltpu.VMEM(
+            (t_blk + 2 * halo, max_total),
+            jnp.bfloat16 if dot_bf16 else jnp.float32))
+
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -258,10 +322,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
         out_specs=pl.BlockSpec((t_blk, lanes), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, lanes), xf.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, t_blk + 2 * halo, lanes), xf.dtype),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -305,7 +366,7 @@ def mrf_stage_unfolded(x: jnp.ndarray,
                 conv = blk[cset][d_idx]
                 mats = _build_wdelta(conv["w"], rho, dd)
                 deltas = _conv_schedule(kernel_size, rho, dd)
-                specs.append((len(w_mats), tuple(deltas)))
+                specs.append(("d", len(w_mats), tuple(deltas)))
                 specs.append(len(b_vecs))
                 w_mats.extend(mats[i] for i in range(mats.shape[0]))
                 b_vecs.append(jnp.tile(conv["b"], rho))
