@@ -79,6 +79,27 @@ def _folded_out_rho(L: int, rho_in: int, max_lanes: int = 128) -> int:
     return best if best > rho_in else 0
 
 
+def _grouped_g(scale: int, c_out: int, rho_next: int, rho_prev: int,
+               L_src: int, max_g: int = 16) -> int:
+    """Smallest source-step group g for the grouped upsample+MRF chain.
+
+    Conditions: g % rho_prev == 0 (integer row stride over the folded
+    input), g*scale % rho_next == 0 (output rows regroup to whole chain
+    rows), g*scale*c_out % 128 == 0 (lane-dense grouped rows), and
+    L_src % g == 0.  Returns 0 when no g <= max_g works (caller falls back
+    to the polyphase + fold path).
+    """
+    for g in range(rho_prev, max_g + 1, rho_prev):
+        if (g * scale) % rho_next:
+            continue
+        if (g * scale * c_out) % 128:
+            continue
+        if L_src % g:
+            continue
+        return g
+    return 0
+
+
 def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, num_mels) -> waveform (B, T * hop_size)."""
     voc = params["vocoder"]
@@ -90,42 +111,67 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     pad = (cfg.hifigan_kernel_size - 1) // 2
     c = conv1d(x, voc["input_conv_w"], voc["input_conv_b"], padding=pad)
 
+    backend = cfg.vocoder_backend
+    if backend == "auto":
+        # measured v5e full vocoder: pallas (fused stages) vs folded-XLA vs
+        # native: 4.3 / 20.7 / 33 ms; interpret-mode pallas is slow, so CPU
+        # keeps the folded XLA path
+        import jax
+        backend = "pallas" if jax.default_backend() == "tpu" else "folded"
+
+    cur_rho = 1   # timesteps per row of c's current layout (1 = unfolded)
     for i, scale in enumerate(cfg.upsample_scales):
-        c = leaky_relu(c, 0.1)
         up = voc["upsamples"][i]
+        C_stage = up["w"].shape[2]
+        L_out = c.shape[1] * cur_rho * scale
+        # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
+        rho = 128 // C_stage if (128 % C_stage == 0) else 1
+        rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
+        if backend == "native" or (rho > 1 and L_out % rho != 0):
+            rho = 1
+        stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
+                        for j in range(cfg.num_resblocks)]
+        last = i == len(cfg.upsample_scales) - 1
+
+        g = 0
+        if backend == "pallas" and C_stage <= 256 and rho * C_stage >= 128:
+            # grouped chain: ONE strided conv produces g*scale-timestep rows
+            # whose lane order is time order, and the fused MRF kernel
+            # regroups them in VMEM — no interleave or fold relayout between
+            # the upsample and its stage (the polyphase + fold path measured
+            # ~1.5 ms of pure data movement per run at production geometry)
+            g = _grouped_g(scale, C_stage, max(rho, 1), cur_rho,
+                           c.shape[1] * cur_rho)
+        if g:
+            from ..ops.conv import conv_transpose1d_grouped
+            from ..ops.pallas.folded_mrf import folded_mrf_stage
+            y = conv_transpose1d_grouped(
+                leaky_relu(c, 0.1), up["w"], up["b"], stride=scale,
+                padding=scale // 2 + scale % 2, output_padding=scale % 2,
+                rho_in=cur_rho, g=g)
+            c = folded_mrf_stage(y, stage_blocks, cfg.resblock_dilations,
+                                 cfg.resblock_kernel_size, rho,
+                                 in_group=g * scale // max(rho, 1))
+            cur_rho = rho
+            continue
+
+        if cur_rho > 1:
+            c = unfold(c, cur_rho)
+        c = leaky_relu(c, 0.1)
         c = conv_transpose1d(
             c, up["w"], up["b"],
             stride=scale,
             padding=scale // 2 + scale % 2,
             output_padding=scale % 2)
-        # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
-        C_stage = c.shape[-1]
-        rho = 128 // C_stage if (128 % C_stage == 0) else 1
-        rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
-        backend = cfg.vocoder_backend
-        if backend == "auto":
-            # measured v5e full vocoder: pallas (stages C<=128) 18.1 ms vs
-            # folded-XLA 20.7 ms vs native 33 ms; interpret-mode pallas is
-            # slow, so CPU keeps the folded XLA path
-            import jax
-            backend = "pallas" if jax.default_backend() == "tpu" else "folded"
-        if backend == "native" or (rho > 1 and c.shape[1] % rho != 0):
-            rho = 1
-        stage_blocks = [voc["blocks"][i * cfg.num_resblocks + j]
-                        for j in range(cfg.num_resblocks)]
-        last = i == len(cfg.upsample_scales) - 1
         if backend == "pallas" and C_stage <= 256:
             from ..ops.pallas.folded_mrf import folded_mrf_stage
             if rho > 1:
                 c = folded_mrf_stage(
                     fold(c, rho), stage_blocks, cfg.resblock_dilations,
                     cfg.resblock_kernel_size, rho)
-                if not last:
-                    c = unfold(c, rho)
             else:
                 c = folded_mrf_stage(c, stage_blocks, cfg.resblock_dilations,
                                      cfg.resblock_kernel_size, rho=1)
-                rho = 1
         else:
             if rho > 1:
                 c = fold(c, rho)
@@ -135,9 +181,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
                                    cfg.resblock_kernel_size, rho=rho)
                 acc = r if acc is None else acc + r
             c = acc * (1.0 / cfg.num_resblocks)
-            if rho > 1 and not last:
-                c = unfold(c, rho)
-        last_rho = rho
+        cur_rho = rho
+    last_rho = cur_rho
 
     B = c.shape[0]
     wav_len = mel.shape[1] * cfg.hop_size

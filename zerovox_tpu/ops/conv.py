@@ -209,6 +209,98 @@ def conv_transpose1d(x: jnp.ndarray,
     return out
 
 
+def build_wtranspose_grouped(w_flipped: jnp.ndarray, stride: int,
+                             padding: int, g: int, rho_in: int):
+    """Row-grouped weights for ConvTranspose1d as ONE strided conv.
+
+    The polyphase form (conv_transpose1d) computes each output phase
+    separately and interleaves with dynamic slices + stack + reshape —
+    measured ~1.5 ms of pure data movement per pipeline run at production
+    geometry.  Instead, group g source steps per OUTPUT ROW: row Q carries
+    the g*stride output timesteps [Q*g*stride, (Q+1)*g*stride) as lanes
+    (tau, cout), computed by an ordinary row-stride-a conv (a = g/rho_in)
+    against rho_in-folded input rows — no interleave anywhere; the lane
+    order IS the time order, so downstream regrouping to rho-folded rows is
+    a free row-major reshape.
+
+    Returns (delta_lo, M) with M of shape (n_delta, rho_in*Cin,
+    g*stride*Cout): y_rows[Q] = sum_d x_rows[a*Q + delta_lo + d] @ M[d].
+    Built as a constant one-hot einsum (see build_wcontract for why not a
+    gather).
+    """
+    import numpy as np
+    K, Cin, Cout = w_flipped.shape
+    s = stride
+    lo = K - 1 - padding
+    # phase tables (same derivation as conv_transpose1d)
+    phases = []
+    for r in range(s):
+        m_r = (lo - r) % s
+        o_r = (r + m_r - lo) // s
+        k_r = len(range(m_r, K, s))
+        phases.append((m_r, o_r, k_r))
+    rel = [tau // s + phases[tau % s][1] + u
+           for tau in range(g * s) for u in range(phases[tau % s][2])]
+    d_lo = min(rel) // rho_in
+    d_hi = max(rel) // rho_in
+    n_d = d_hi - d_lo + 1
+    onehot = np.zeros((n_d, rho_in, g * s, K), np.float32)
+    for tau in range(g * s):
+        m_r, o_r, k_r = phases[tau % s]
+        for u in range(k_r):
+            p = tau // s + o_r + u
+            onehot[p // rho_in - d_lo, p % rho_in, tau, m_r + s * u] = 1.0
+    O = jnp.asarray(onehot, w_flipped.dtype)
+    # M[d, (sigma,cin), (tau,cout)] = w_flipped[k0, cin, cout]
+    M = jnp.einsum("dptk,kco->dpcto", O, w_flipped,
+                   preferred_element_type=w_flipped.dtype)
+    return d_lo, M.reshape(n_d, rho_in * Cin, g * s * Cout)
+
+
+def conv_transpose1d_grouped(x_rows: jnp.ndarray,
+                             w_flipped: jnp.ndarray,
+                             b: Optional[jnp.ndarray] = None,
+                             stride: int = 1,
+                             padding: int = 0,
+                             output_padding: int = 0,
+                             rho_in: int = 1,
+                             g: int = 1) -> jnp.ndarray:
+    """ConvTranspose1d from rho_in-folded rows to g-grouped output rows.
+
+    x_rows: (B, R, rho_in*Cin) — R*rho_in source timesteps.
+    Returns (B, R*rho_in/g, g*stride*Cout): same samples as
+    conv_transpose1d(unfold(x_rows)), rows of g*stride timesteps in time
+    order (row-major reshape recovers (B, L*stride, Cout) exactly).
+    Requires the standard upsampling geometry (out_len == L*stride),
+    g % rho_in == 0, and (R*rho_in) % g == 0.
+    """
+    B, R, rc = x_rows.shape
+    K, Cin, Cout = w_flipped.shape
+    assert rc == rho_in * Cin
+    L = R * rho_in
+    out_len = (L - 1) * stride + K - 2 * padding + output_padding
+    assert out_len == L * stride, "grouped transpose requires same-multiple geometry"
+    assert g % rho_in == 0 and L % g == 0
+    a = g // rho_in
+    R_out = L // g
+
+    d_lo, M = build_wtranspose_grouped(w_flipped, stride, padding, g, rho_in)
+    n_d = M.shape[0]
+    pad_l = -d_lo
+    pad_r = max(0, (R_out - 1) * a + d_lo + n_d - 1 - (R - 1))
+    out = lax.conv_general_dilated(
+        x_rows, M,
+        window_strides=(a,),
+        padding=[(pad_l, pad_r)],
+        dimension_numbers=_DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32
+        if x_rows.dtype == jnp.float32 else None,
+    ).astype(x_rows.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, g * stride)
+    return out
+
+
 def fold(x: jnp.ndarray, rho: int) -> jnp.ndarray:
     """(B, L, C) -> (B, L/rho, rho*C): pack rho time steps into the lane dim.
 

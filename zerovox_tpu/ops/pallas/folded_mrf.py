@@ -71,7 +71,8 @@ def _conv_reach(deltas):
 
 
 def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
-                schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False):
+                schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False,
+                in_group=1):
     """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile.
 
     With rho > 1 the HBM array is *unfolded* (rows are rho x smaller lane
@@ -95,8 +96,12 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
     window = t_blk + 2 * halo
 
     def fetch(slot, idx):
+        # with in_group > 1 the HBM rows are g-grouped (g*lanes wide, g
+        # chain rows each); the DMA moves grouped rows and the regroup to
+        # (window, lanes) is a free in-VMEM lane->row reshape below
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(idx * t_blk * rho, window * rho)],
+            x_hbm.at[pl.ds(idx * (t_blk // in_group) * rho,
+                           (window // in_group) * rho)],
             x_vmem.at[slot], sem.at[slot])
 
     slot = jax.lax.rem(t, 2)
@@ -174,6 +179,8 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
     # the VPU work is elementwise either way; dot_bf16 narrows only the MXU
     # operands inside conv()
     x = x_vmem[slot]
+    if in_group > 1:
+        x = x.reshape(window, x.shape[-1] // in_group)  # in-VMEM regroup
     if rho > 1:
         x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
     cdtype = jnp.float32
@@ -219,8 +226,15 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      t_blk: int = 512,
                      interpret: bool | None = None,
                      dot_bf16: bool | None = None,
-                     contract: bool | None = None) -> jnp.ndarray:
+                     contract: bool | None = None,
+                     in_group: int = 1) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
+
+    in_group = g > 1 accepts the activation as g-GROUPED rows
+    (B, nblk/g, g*lanes) — the layout conv_transpose1d_grouped produces —
+    and regroups to (window, lanes) chain rows inside the kernel (free
+    in-VMEM reshape), so no XLA relayout ever materialises between an
+    upsample and its MRF stage.  Output stays ungrouped (B, nblk, lanes).
 
     xf: (B, nblk, 128); blocks: list of resblock param dicts
     ({"convs1": [{"w","b"}..], "convs2": [...]}); dilation_sets[j] are the
@@ -241,7 +255,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
     C=32 stage 1.43 -> 2.34 ms.  Kept as an experimental flag; the W_delta
     inflation is cheaper than operand repacking on this hardware.
     """
-    B, nblk, lanes = xf.shape
+    B, nrows_in, lanes_in = xf.shape
+    nblk, lanes = nrows_in * in_group, lanes_in // in_group
     n_rb = len(blocks)
 
     if interpret is None:
@@ -286,21 +301,27 @@ def folded_mrf_stage(xf: jnp.ndarray,
     else:
         w_all = jnp.stack(w_mats)                 # (n_w, 128, 128)
     b_all = jnp.stack(b_vecs)                     # (n_b, 128)
-    # round up to the dtype's sublane tile so DMA slices stay aligned
+    # round up so DMA slices stay sublane-aligned; with grouped input the
+    # DMA works in g-grouped rows, so halo and t_blk must also divide by g
+    # with the QUOTIENT sublane-aligned
     sublane = 16 if xf.dtype in (jnp.bfloat16, jnp.float16) else 8
-    halo = -(-halo // sublane) * sublane
+    unit = sublane * in_group
+    halo = -(-halo // unit) * unit
+    t_blk = max(unit, (t_blk // unit) * unit)
     n_tiles = -(-nblk // t_blk)
     padded = n_tiles * t_blk
 
-    # zero-pad: halo left; halo + tile tail right
-    xpad = jnp.pad(xf, ((0, 0), (halo, halo + padded - nblk), (0, 0)))
+    # zero-pad: halo left; halo + tile tail right (in grouped rows)
+    g = in_group
+    xpad = jnp.pad(xf, ((0, 0), (halo // g, (halo + padded - nblk) // g),
+                        (0, 0)))
 
     kern = functools.partial(
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
-        inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16)
+        inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16, in_group=in_group)
 
     scratch = [
-        pltpu.VMEM((2, t_blk + 2 * halo, lanes), xf.dtype),  # double buffer
+        pltpu.VMEM((2, (t_blk + 2 * halo) // g, g * lanes), xf.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if contract:
