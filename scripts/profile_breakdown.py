@@ -100,12 +100,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cumulative", action="store_true",
                     help="time vocoder prefixes to localize composition overhead")
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     cfg = ZeroVoxConfig(compute_dtype="bfloat16")
     params = cast_params(init_params(cfg, seed=0), jnp.bfloat16)
     dt = jnp.bfloat16
-    B = 1
+    B = args.batch
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(0, cfg.num_phonemes + 1,
                                    size=(B, cfg.max_n_phonemes)), jnp.int32)
