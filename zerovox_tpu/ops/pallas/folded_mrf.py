@@ -73,16 +73,22 @@ def _conv_reach(deltas):
 def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
                 schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False,
                 in_group=1):
-    """Grid step t: window x[t*t_blk : t*t_blk + t_blk + 2*halo] -> o tile.
+    """Grid step (b, t): window x[b, t*t_blk : t*t_blk + t_blk + 2*halo]
+    -> o tile (b, t).
+
+    The batch axis is a leading grid dimension (NOT an outer jax.vmap):
+    Mosaic only lowers ANY-memory-space inputs with a trivial index map, so
+    a vmapped pallas_call over the HBM ref fails to compile for B > 1; here
+    the manual DMA slices the batch row itself.
 
     With rho > 1 the HBM array is *unfolded* (rows are rho x smaller lane
     blocks of C channels); the DMA fetches rho x the rows and the fold to
     (window, rho*C) happens as an in-VMEM reshape, so XLA never materialises
     a folded layout at the kernel boundary.
 
-    The halo fetch is double-buffered: tile t+1's HBM->VMEM copy is issued
-    before tile t's compute, so DMA overlaps the MXU chain (x_vmem/sem carry
-    2 slots).
+    The halo fetch is double-buffered: the next grid step's HBM->VMEM copy
+    (tile t+1, or the next batch row's tile 0) is issued before this step's
+    compute, so DMA overlaps the MXU chain (x_vmem/sem carry 2 slots).
 
     Shifted conv reads are SHRINKING-WINDOW STATIC SLICES, not rolls: each
     conv consumes its block reach from the margins, so every delta's operand
@@ -91,30 +97,34 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
     rolls per tile), not MXU-bound; slices remove that traffic and lift the
     32-bit-data restriction rolls imposed.
     """
-    t = pl.program_id(0)
-    n = pl.num_programs(0)
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    i = b * nt + t                     # linear step (t fastest on TPU)
+    n = pl.num_programs(0) * nt
     window = t_blk + 2 * halo
 
-    def fetch(slot, idx):
+    def fetch(slot, bi, ti):
         # with in_group > 1 the HBM rows are g-grouped (g*lanes wide, g
         # chain rows each); the DMA moves grouped rows and the regroup to
         # (window, lanes) is a free in-VMEM lane->row reshape below
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(idx * (t_blk // in_group) * rho,
-                           (window // in_group) * rho)],
+            x_hbm.at[bi, pl.ds(ti * (t_blk // in_group) * rho,
+                               (window // in_group) * rho)],
             x_vmem.at[slot], sem.at[slot])
 
-    slot = jax.lax.rem(t, 2)
+    slot = jax.lax.rem(i, 2)
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
-        fetch(0, 0).start()
+        fetch(0, 0, 0).start()
 
-    @pl.when(t + 1 < n)
+    @pl.when(i + 1 < n)
     def _():
-        fetch(jax.lax.rem(t + 1, 2), t + 1).start()
+        nxt = i + 1
+        fetch(jax.lax.rem(nxt, 2), nxt // nt, jax.lax.rem(nxt, nt)).start()
 
-    fetch(slot, t).wait()
+    fetch(slot, b, t).wait()
 
     # global block index of window row 0
     g0 = t * t_blk - halo
@@ -215,7 +225,7 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
            * jnp.asarray(inv_n, jnp.float32))[start:start + t_blk]
     if rho > 1:
         out = out.reshape(t_blk * rho, out.shape[-1] // rho)  # in-VMEM unfold
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def folded_mrf_stage(xf: jnp.ndarray,
@@ -334,23 +344,20 @@ def folded_mrf_stage(xf: jnp.ndarray,
 
     call = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(B, n_tiles),                             # batch rides the grid
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),         # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # weights, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),     # biases, whole
         ],
-        out_specs=pl.BlockSpec((t_blk, lanes), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((1, t_blk, lanes), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded, lanes), xf.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, padded, lanes), xf.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )
 
-    def one(xp):
-        return call(xp, w_all, b_all)
-
-    out = jax.vmap(one)(xpad)
+    out = call(xpad, w_all, b_all)
     return out[:, :nblk]
 
 
@@ -411,15 +418,15 @@ def mrf_stage_unfolded(x: jnp.ndarray,
 
     call = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t_blk * rho, C), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((1, t_blk * rho, C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded * rho, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, padded * rho, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, (t_blk + 2 * halo) * rho, C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -427,8 +434,5 @@ def mrf_stage_unfolded(x: jnp.ndarray,
         interpret=interpret,
     )
 
-    def one(xp):
-        return call(xp, w_all, b_all)
-
-    out = jax.vmap(one)(xpad)
+    out = call(xpad, w_all, b_all)
     return out[:, :L]
