@@ -196,3 +196,30 @@ def test_conv1d_folded_matches_conv1d(rng, C, rho, dilation):
                                rho=rho), rho)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("B", [1, 2])   # B=1 sliced-dots path, B>1 conv path
+@pytest.mark.parametrize("stride,K,Cin,Cout,rho_in,g,L", [
+    (5, 10, 16, 8, 1, 1, 40),    # up0/up1 geometry (a = 1)
+    (4, 8, 16, 8, 1, 1, 40),     # up2 geometry (a = 1)
+    (3, 6, 16, 8, 2, 4, 48),     # up3 geometry: folded input, row stride 2
+    (3, 6, 8, 8, 2, 6, 48),      # row stride 3 (lane-slice regroup)
+])
+def test_conv_transpose1d_grouped_matches_polyphase(rng, B, stride, K, Cin,
+                                                    Cout, rho_in, g, L):
+    """Grouped-row ConvTranspose (the TPU hot path feeding the fused MRF
+    kernel) is exact vs the polyphase reference on both dispatch paths."""
+    from zerovox_tpu.ops.conv import conv_transpose1d_grouped, fold
+    pad = stride // 2 + stride % 2
+    outpad = stride % 2
+    w = jnp.asarray(rng.normal(size=(K, Cin, Cout)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(Cout,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, L, Cin)), jnp.float32)
+    ref = conv_transpose1d(x, w, b, stride=stride, padding=pad,
+                           output_padding=outpad)
+    xr = fold(x, rho_in) if rho_in > 1 else x
+    got = conv_transpose1d_grouped(xr, w, b, stride=stride, padding=pad,
+                                   output_padding=outpad, rho_in=rho_in, g=g)
+    assert got.shape == (B, L // g, g * stride * Cout)
+    np.testing.assert_allclose(np.asarray(got.reshape(B, -1, Cout)),
+                               np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -288,14 +288,52 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     n_d = M.shape[0]
     pad_l = -d_lo
     pad_r = max(0, (R_out - 1) * a + d_lo + n_d - 1 - (R - 1))
-    out = lax.conv_general_dilated(
-        x_rows, M,
-        window_strides=(a,),
-        padding=[(pad_l, pad_r)],
-        dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32
-        if x_rows.dtype == jnp.float32 else None,
-    ).astype(x_rows.dtype)
+    # B = 1: explicit sum of sliced matmuls instead of conv_general_dilated.
+    # XLA's strided-conv emitter (EmitAllBatchInSublanes) ran these 6-10x
+    # off roofline at B=1 (traced fusion.81/85/101 = 1.08 ms/run at
+    # production geometry; dots cut the pipeline 6.26 -> 5.27 ms), but with
+    # a real batch to pack into sublanes the emitter wins (B=8 pipeline:
+    # conv 42.0 ms vs dots 48.6 ms) — so dispatch on the static batch size.
+    # For row stride a > 1 the strided slice is expressed as a FREE
+    # row-major a-grouped reshape + contiguous row/lane slices (a strided
+    # sublane slice would materialise a copy): rows of x[d::a] are
+    # xg[d//a :, (d%a)*rc : (d%a+1)*rc] of xg = x.reshape(-1, a*rc).
+    if B > 1:
+        out = lax.conv_general_dilated(
+            x_rows, M,
+            window_strides=(a,),
+            padding=[(pad_l, pad_r)],
+            dimension_numbers=_DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32
+            if x_rows.dtype == jnp.float32 else None,
+        ).astype(x_rows.dtype)
+        if b is not None:
+            out = out + jnp.tile(b, g * stride)
+        return out
+    xp = jnp.pad(x_rows, ((0, 0), (pad_l, pad_r), (0, 0)))
+    acc = None
+    if a == 1:
+        for d in range(n_d):
+            sl = lax.slice_in_dim(xp, d, d + R_out, axis=1)
+            y = lax.dot_general(sl, M[d],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    else:
+        rows_needed = ((n_d - 1) // a + R_out) * a
+        extra = rows_needed - xp.shape[1]
+        if extra > 0:
+            xp = jnp.pad(xp, ((0, 0), (0, extra), (0, 0)))
+        xg = xp.reshape(B, xp.shape[1] // a, a * rc)
+        for d in range(n_d):
+            q, p = divmod(d, a)
+            sl = lax.slice(xg, (0, q, p * rc),
+                           (B, q + R_out, (p + 1) * rc))
+            y = lax.dot_general(sl, M[d],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    out = acc.astype(x_rows.dtype)
     if b is not None:
         out = out + jnp.tile(b, g * stride)
     return out
