@@ -149,9 +149,17 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
                 leaky_relu(c, 0.1), up["w"], up["b"], stride=scale,
                 padding=scale // 2 + scale % 2, output_padding=scale % 2,
                 rho_in=cur_rho, g=g)
+            ing = g * scale // max(rho, 1)
+            if ing == 3:
+                # measured on v5e: the in-kernel regroup pays for ing in
+                # {2, 5} but LOSES for 3 (sublane unit 16*3 rounds the halo
+                # 16 -> 48 rows and the odd-factor VMEM reshape is not
+                # free): stage 4 kernel 1.76 -> 1.37 ms with the regroup
+                # done as one XLA row-major reshape instead
+                y = y.reshape(y.shape[0], -1, y.shape[-1] // ing)
+                ing = 1
             c = folded_mrf_stage(y, stage_blocks, cfg.resblock_dilations,
-                                 cfg.resblock_kernel_size, rho,
-                                 in_group=g * scale // max(rho, 1))
+                                 cfg.resblock_kernel_size, rho, in_group=ing)
             cur_rho = rho
             continue
 
