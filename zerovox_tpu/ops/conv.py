@@ -106,6 +106,36 @@ def conv1d(x: jnp.ndarray,
     if _F16_STAGING:
         xc = x.astype(jnp.float16)
         wc = w.astype(jnp.float16)
+    if K == 1 and stride == 1 and padding == 0:
+        # a 1x1 conv IS a matmul; go straight to the MXU
+        out = lax.dot_general(xc, wc[0],
+                              dimension_numbers=(((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+        if b is not None:
+            out = out + b
+        return out
+    if stride == 1 and x.shape[0] == 1:
+        # B = 1: sum of K shifted dense dots.  XLA's conv emitter
+        # (EmitAllBatchInSublanes) has no batch to pack into sublanes and
+        # runs far off roofline (traced: 0.71 ms/run of decoder + input
+        # convs at production geometry); K row-sliced dot_generals go
+        # straight to the MXU.  With a real batch the emitter wins.
+        T = x.shape[1]
+        T_out = T + 2 * padding - dilation * (K - 1)
+        xp = jnp.pad(xc, ((0, 0), (padding, padding), (0, 0)))
+        acc = None
+        for j in range(K):
+            sl = lax.slice_in_dim(xp, j * dilation, j * dilation + T_out,
+                                  axis=1)
+            y = lax.dot_general(sl, wc[j],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        out = acc.astype(x.dtype)
+        if b is not None:
+            out = out + b
+        return out
     out = lax.conv_general_dilated(
         xc, wc,
         window_strides=(stride,),
