@@ -120,6 +120,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         backend = "pallas" if jax.default_backend() == "tpu" else "folded"
 
     cur_rho = 1   # timesteps per row of c's current layout (1 = unfolded)
+    act_done = False  # True when the fused stage already applied the leaky
+                      # that precedes the next conv (kernel out_leaky)
     for i, scale in enumerate(cfg.upsample_scales):
         up = voc["upsamples"][i]
         C_stage = up["w"].shape[2]
@@ -146,7 +148,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             from ..ops.conv import conv_transpose1d_grouped
             from ..ops.pallas.folded_mrf import folded_mrf_stage
             y = conv_transpose1d_grouped(
-                leaky_relu(c, 0.1), up["w"], up["b"], stride=scale,
+                c if act_done else leaky_relu(c, 0.1),
+                up["w"], up["b"], stride=scale,
                 padding=scale // 2 + scale % 2, output_padding=scale % 2,
                 rho_in=cur_rho, g=g)
             ing = g * scale // max(rho, 1)
@@ -159,13 +162,17 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
                 y = y.reshape(y.shape[0], -1, y.shape[-1] // ing)
                 ing = 1
             c = folded_mrf_stage(y, stage_blocks, cfg.resblock_dilations,
-                                 cfg.resblock_kernel_size, rho, in_group=ing)
+                                 cfg.resblock_kernel_size, rho, in_group=ing,
+                                 out_leaky=0.01 if last else 0.1)
+            act_done = True
             cur_rho = rho
             continue
 
         if cur_rho > 1:
             c = unfold(c, cur_rho)
-        c = leaky_relu(c, 0.1)
+        if not act_done:
+            c = leaky_relu(c, 0.1)
+        act_done = False
         c = conv_transpose1d(
             c, up["w"], up["b"],
             stride=scale,
@@ -204,7 +211,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # contracted form does it in ONE matmul — the W_delta strided-gather
         # form measured 0.81 ms (~20x roofline) at production geometry.
         from ..ops.conv import conv1d_folded_out_contract
-        c = leaky_relu(c, 0.01)
+        if not act_done:
+            c = leaky_relu(c, 0.01)
         c = conv1d_folded_out_contract(c, out_w, out_b, padding=pad,
                                        rho_in=last_rho, rho_out=rho_out)
         c = jnp.tanh(c)
@@ -212,7 +220,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         return tap("wav", c.reshape(B, wav_len))
     if last_rho > 1:
         c = unfold(c, last_rho)
-    c = leaky_relu(c, 0.01)
+    if not act_done:
+        c = leaky_relu(c, 0.01)
     c = conv1d(c, out_w, out_b, padding=pad)
     c = jnp.tanh(c)
     # "dbg" mirrors the reference's permanent probe (src/hifigan.cpp:347)

@@ -72,7 +72,7 @@ def _conv_reach(deltas):
 
 def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
                 schedules, halo, t_blk, inv_n, nblk, rho=1, dot_bf16=False,
-                in_group=1):
+                in_group=1, out_leaky=None):
     """Grid step (b, t): window x[b, t*t_blk : t*t_blk + t_blk + 2*halo]
     -> o tile (b, t).
 
@@ -223,6 +223,11 @@ def _mrf_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, opnd_ref=None, *,
     start = halo - acc_off
     out = (acc.astype(jnp.float32)
            * jnp.asarray(inv_n, jnp.float32))[start:start + t_blk]
+    if out_leaky is not None:
+        # the stage output always feeds a leaky-relu (0.1 before the next
+        # upsample, 0.01 before the output conv); applying it here on the
+        # f32 accumulator removes an unfused elementwise HBM pass per stage
+        out = _leaky(out, out_leaky)
     if rho > 1:
         out = out.reshape(t_blk * rho, out.shape[-1] // rho)  # in-VMEM unfold
     o_ref[0] = out.astype(o_ref.dtype)
@@ -237,7 +242,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      interpret: bool | None = None,
                      dot_bf16: bool | None = None,
                      contract: bool | None = None,
-                     in_group: int = 1) -> jnp.ndarray:
+                     in_group: int = 1,
+                     out_leaky: float | None = None) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
 
     in_group = g > 1 accepts the activation as g-GROUPED rows
@@ -254,6 +260,11 @@ def folded_mrf_stage(xf: jnp.ndarray,
     dot_bf16 (default: on iff xf is bf16) feeds the MXU bf16 operands with
     f32 accumulation — the bf16-serving numerics of the XLA folded path and
     ~3x the f32 MXU rate.  The f32 parity path keeps f32 dots.
+
+    out_leaky (default None) applies a leaky-relu with that slope to the
+    stage output on the f32 accumulator before the final cast — the stage
+    output always feeds one (0.1 pre-upsample / 0.01 pre-output-conv), and
+    fusing it here removes an unfused elementwise HBM pass per stage.
 
     contract (default OFF) replaces each conv's n_delta full-width W_delta
     passes by ONE dot against the lane-packed exactly-touched input windows
@@ -328,7 +339,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
 
     kern = functools.partial(
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
-        inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16, in_group=in_group)
+        inv_n=1.0 / n_rb, nblk=nblk, dot_bf16=dot_bf16, in_group=in_group,
+        out_leaky=out_leaky)
 
     scratch = [
         pltpu.VMEM((2, (t_blk + 2 * halo) // g, g * lanes), xf.dtype),
