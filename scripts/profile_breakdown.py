@@ -57,7 +57,7 @@ def cumulative(cfg, params, mel):
                 xf = fold(c, rho) if rho > 1 else c
                 xf = folded_mrf_stage(xf, blocks, cfg.resblock_dilations,
                                       cfg.resblock_kernel_size, rho)
-                c = xf if (rho > 1 or i == len(cfg.upsample_scales) - 1) else xf
+                c = xf
                 if rho > 1 and i < len(cfg.upsample_scales) - 1:
                     from zerovox_tpu.ops.conv import unfold
                     c = unfold(c, rho)

@@ -198,6 +198,24 @@ def test_conv1d_folded_matches_conv1d(rng, C, rho, dilation):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("rho_in,rho_out", [(1, 8), (2, 8), (4, 8)])
+def test_conv1d_folded_out_contract_matches_conv1d(rng, rho_in, rho_out):
+    """Contracted folded-output conv (the one-matmul tail) vs plain conv1d."""
+    from zerovox_tpu.ops.conv import conv1d_folded_out_contract, fold
+    B, L, Cin, K = 2, 64, 16, 7
+    pad = (K - 1) // 2
+    x = rng.normal(size=(B, L, Cin)).astype(np.float32)
+    w = rng.normal(size=(K, Cin, 1)).astype(np.float32)
+    b = rng.normal(size=(1,)).astype(np.float32)
+    ref = conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), padding=pad)
+    xf = fold(jnp.asarray(x), rho_in) if rho_in > 1 else jnp.asarray(x)
+    got = conv1d_folded_out_contract(xf, jnp.asarray(w), jnp.asarray(b),
+                                     padding=pad, rho_in=rho_in,
+                                     rho_out=rho_out)
+    np.testing.assert_allclose(np.asarray(got).reshape(B, -1),
+                               np.asarray(ref)[..., 0], atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("B", [1, 2])   # B=1 sliced-dots path, B>1 conv path
 @pytest.mark.parametrize("stride,K,Cin,Cout,rho_in,g,L", [
     (5, 10, 16, 8, 1, 1, 40),    # up0/up1 geometry (a = 1)

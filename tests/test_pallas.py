@@ -69,6 +69,41 @@ def test_tail_tile_zero_padded(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_contract_mode_matches_default(rng):
+    """folded_mrf_stage(contract=True) — the experimental lane-packed
+    operand path — stays exact vs the W_delta default."""
+    params = init_params(CFG, seed=0)
+    C, rho, L = 16, 8, 320
+    x = jnp.asarray(rng.normal(size=(1, L, C)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, _ = _stage(params, 0, xf, rho)
+    ref = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16)
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16,
+                           contract=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_out_leaky_matches_external(rng):
+    """folded_mrf_stage(out_leaky=s) == leaky_relu(folded_mrf_stage(x), s)."""
+    from zerovox_tpu.ops import leaky_relu
+    params = init_params(CFG, seed=0)
+    C, rho, L = 16, 8, 320
+    x = jnp.asarray(rng.normal(size=(2, L, C)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, _ = _stage(params, 0, xf, rho)
+    ref = leaky_relu(folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                                      CFG.resblock_kernel_size, rho,
+                                      t_blk=16), 0.1)
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16,
+                           out_leaky=0.1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_vocoder_backend_pallas_matches_folded(rng):
     """End-to-end vocode() with vocoder_backend='pallas' vs 'folded'."""
     from zerovox_tpu.models import hifigan

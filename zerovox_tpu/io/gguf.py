@@ -359,6 +359,12 @@ class GGUFReader:
             self._order.append(name)
 
         self.alignment = int(self.kv.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        if self.alignment <= 0 or (self.alignment & (self.alignment - 1)) != 0:
+            # mirror the native reader's hardening: a corrupt alignment would
+            # otherwise ZeroDivisionError below / silently misalign data
+            raise ValueError(
+                f"invalid general.alignment {self.alignment}: must be a "
+                "positive power of two")
         pad = (self.alignment - cur.pos % self.alignment) % self.alignment
         self.data_offset = cur.pos + pad
 

@@ -19,6 +19,17 @@ def float_to_pcm16(x: np.ndarray) -> np.ndarray:
     return (x * 32767.0).astype(np.int16)
 
 
+def _wav_header(sampling_rate: int, data_bytes: int) -> bytes:
+    """44-byte RIFF/fmt/data header (PCM16 mono); sizes patched by callers
+    that stream (offsets 4 and 40)."""
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + data_bytes), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                             sampling_rate * 2, 2, 16),
+        b"data", struct.pack("<I", data_bytes),
+    ])
+
+
 def write_wav(path: str, wav: np.ndarray, sampling_rate: int,
               use_native: bool = True):
     """Write a mono float waveform in [-1, 1] as 16-bit PCM WAV."""
@@ -35,17 +46,7 @@ def write_wav(path: str, wav: np.ndarray, sampling_rate: int,
     data = pcm.tobytes()
 
     with open(path, "wb") as f:
-        # RIFF header
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(data)))
-        f.write(b"WAVE")
-        # fmt chunk (PCM, mono, 16-bit)
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
-                            sampling_rate * 2, 2, 16))
-        # data chunk
-        f.write(b"data")
-        f.write(struct.pack("<I", len(data)))
+        f.write(_wav_header(sampling_rate, len(data)))
         f.write(data)
 
 
@@ -63,14 +64,8 @@ class StreamingWavWriter:
         self.path = path
         self._f = open(path, "wb")
         self._data_bytes = 0
-        self._f.write(b"RIFF")
-        self._f.write(struct.pack("<I", 36))            # patched on close
-        self._f.write(b"WAVE")
-        self._f.write(b"fmt ")
-        self._f.write(struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
-                                  sampling_rate * 2, 2, 16))
-        self._f.write(b"data")
-        self._f.write(struct.pack("<I", 0))             # patched on close
+        # sizes (offsets 4 and 40) are placeholders, patched on close
+        self._f.write(_wav_header(sampling_rate, 0))
         self._f.flush()
 
     def write(self, wav_chunk: np.ndarray):

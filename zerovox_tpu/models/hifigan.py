@@ -80,15 +80,20 @@ def _folded_out_rho(L: int, rho_in: int, max_lanes: int = 128) -> int:
 
 
 def _grouped_g(scale: int, c_out: int, rho_next: int, rho_prev: int,
-               L_src: int, max_g: int = 16) -> int:
+               L_src: int, k: int, max_g: int = 16) -> int:
     """Smallest source-step group g for the grouped upsample+MRF chain.
 
-    Conditions: g % rho_prev == 0 (integer row stride over the folded
-    input), g*scale % rho_next == 0 (output rows regroup to whole chain
-    rows), g*scale*c_out % 128 == 0 (lane-dense grouped rows), and
-    L_src % g == 0.  Returns 0 when no g <= max_g works (caller falls back
-    to the polyphase + fold path).
+    Conditions: k == 2*scale (under vocode's pad = s//2 + s%2 /
+    outpad = s%2 convention this is exactly conv_transpose1d_grouped's
+    out_len == L*stride requirement — a nonstandard upsample kernel size
+    must fall back rather than trip its assert), g % rho_prev == 0
+    (integer row stride over the folded input), g*scale % rho_next == 0
+    (output rows regroup to whole chain rows), g*scale*c_out % 128 == 0
+    (lane-dense grouped rows), and L_src % g == 0.  Returns 0 when no
+    g <= max_g works (caller falls back to the polyphase + fold path).
     """
+    if k != 2 * scale:
+        return 0
     for g in range(rho_prev, max_g + 1, rho_prev):
         if (g * scale) % rho_next:
             continue
@@ -143,7 +148,7 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             # the upsample and its stage (the polyphase + fold path measured
             # ~1.5 ms of pure data movement per run at production geometry)
             g = _grouped_g(scale, C_stage, max(rho, 1), cur_rho,
-                           c.shape[1] * cur_rho)
+                           c.shape[1] * cur_rho, up["w"].shape[0])
         if g:
             from ..ops.conv import conv_transpose1d_grouped
             from ..ops.pallas.folded_mrf import folded_mrf_stage

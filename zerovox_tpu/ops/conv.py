@@ -53,6 +53,21 @@ class f16_staging:
         global _F16_STAGING
         _F16_STAGING = self.prev
 
+
+def _staged(*arrays):
+    """Cast matmul operands to f16 when the staging simulation is on.
+
+    Applied at EVERY conv formulation's dot site (native, im2col, polyphase/
+    grouped transpose, folded, contracted tail) so the simulation covers the
+    whole precision profile ggml has — not just the plain conv1d path.
+    `linear` is intentionally excluded: the reference exporter casts only
+    conv/FFN weights (utils/zv2gguf.py:156-161); attention/style projections
+    stay f32.
+    """
+    if _F16_STAGING:
+        return tuple(a.astype(jnp.float16) for a in arrays)
+    return arrays
+
 # XLA's TPU conv lowering wastes the 128-lane MXU tiles when the channel count
 # is small: measured on v5e, a C=32 dilated conv runs at ~3 TFLOP/s-effective
 # while the equivalent im2col matmul (L, K*C) @ (K*C, C) runs at ~40 TFLOP/s
@@ -166,13 +181,15 @@ def conv_transpose1d_lax(x: jnp.ndarray,
     k = w_flipped.shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
+    xc, wc = _staged(x, w_flipped)
     out = lax.conv_general_dilated(
-        x, w_flipped,
+        xc, wc,
         window_strides=(1,),
         padding=[(lo, hi)],
         lhs_dilation=(stride,),
         dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        preferred_element_type=(jnp.float32 if (x.dtype == jnp.float32
+                                                or _F16_STAGING) else None),
     )
     out = out.astype(x.dtype)
     if b is not None:
@@ -329,13 +346,14 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     # sublane slice would materialise a copy): rows of x[d::a] are
     # xg[d//a :, (d%a)*rc : (d%a+1)*rc] of xg = x.reshape(-1, a*rc).
     if B > 1:
+        xc, Mc = _staged(x_rows, M)
         out = lax.conv_general_dilated(
-            x_rows, M,
+            xc, Mc,
             window_strides=(a,),
             padding=[(pad_l, pad_r)],
             dimension_numbers=_DIMENSION_NUMBERS,
             preferred_element_type=jnp.float32
-            if x_rows.dtype == jnp.float32 else None,
+            if (x_rows.dtype == jnp.float32 or _F16_STAGING) else None,
         ).astype(x_rows.dtype)
         if b is not None:
             out = out + jnp.tile(b, g * stride)
@@ -344,8 +362,8 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     acc = None
     if a == 1:
         for d in range(n_d):
-            sl = lax.slice_in_dim(xp, d, d + R_out, axis=1)
-            y = lax.dot_general(sl, M[d],
+            sl, Md = _staged(lax.slice_in_dim(xp, d, d + R_out, axis=1), M[d])
+            y = lax.dot_general(sl, Md,
                                 dimension_numbers=(((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
@@ -357,9 +375,9 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
         xg = xp.reshape(B, xp.shape[1] // a, a * rc)
         for d in range(n_d):
             q, p = divmod(d, a)
-            sl = lax.slice(xg, (0, q, p * rc),
-                           (B, q + R_out, (p + 1) * rc))
-            y = lax.dot_general(sl, M[d],
+            sl, Md = _staged(lax.slice(xg, (0, q, p * rc),
+                                       (B, q + R_out, (p + 1) * rc)), M[d])
+            y = lax.dot_general(sl, Md,
                                 dimension_numbers=(((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
@@ -463,6 +481,7 @@ def conv1d_folded(xf: jnp.ndarray,
         [lax.dynamic_slice_in_dim(xpad, d + lo, nblk, axis=1)
          for d in deltas], axis=-1)
     wcat = W.reshape(len(deltas) * rho * C, rho * C)
+    cols, wcat = _staged(cols, wcat)
     out = jnp.einsum("blc,co->blo", cols, wcat,
                      preferred_element_type=jnp.float32).astype(xf.dtype)
     if b is not None:
@@ -572,7 +591,8 @@ def conv1d_folded_out(xf: jnp.ndarray,
     for di, delta in enumerate(deltas):
         start = delta + lo
         xv = xpad[:, start:start + nblk_out * stride:stride]
-        y = jnp.einsum("blc,co->blo", xv, W[di],
+        xv, wd = _staged(xv, W[di])
+        y = jnp.einsum("blc,co->blo", xv, wd,
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
     out = out.astype(xf.dtype)
@@ -615,6 +635,7 @@ def conv1d_folded_out_contract(xf: jnp.ndarray,
     opnd = jnp.concatenate(
         [xp[:, -qmin + q: -qmin + q + nblk_out, lo:hi]
          for q, lo, hi in pieces], axis=-1)
+    opnd, W = _staged(opnd, W)
     out = jnp.einsum("blc,co->blo", opnd, W,
                      preferred_element_type=jnp.float32).astype(xf.dtype)
     if b is not None:

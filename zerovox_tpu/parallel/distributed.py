@@ -76,10 +76,20 @@ def pod_device_grid(devices: Sequence, hosts: int) -> np.ndarray:
         by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
     if len(by_proc) == hosts:
         rows = [by_proc[k] for k in sorted(by_proc)]
-        if all(len(r) == per_host for r in rows):
-            return np.asarray(rows, dtype=object)
-    # uniform process index (single process / virtual devices): contiguous
-    return np.asarray(list(devices), dtype=object).reshape(hosts, per_host)
+        if any(len(r) != per_host for r in rows):
+            # a contiguous reshape of an interleaved list would silently put
+            # devices from different hosts in one row, breaking the
+            # "model-axis groups stay on one host" guarantee
+            raise ValueError(
+                "uneven devices per process: "
+                f"{[len(r) for r in rows]} (expected {per_host} x {hosts})")
+        return np.asarray(rows, dtype=object)
+    if len(by_proc) == 1:
+        # single process / virtual devices: contiguous split is exact
+        return np.asarray(list(devices), dtype=object).reshape(hosts, per_host)
+    raise ValueError(
+        f"device list spans {len(by_proc)} processes but hosts={hosts}; "
+        "pass hosts == number of processes (or 1 for a local/virtual mesh)")
 
 
 def make_pod_mesh(hosts: int, model: int = 1,
