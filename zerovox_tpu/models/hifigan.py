@@ -105,6 +105,14 @@ def _grouped_g(scale: int, c_out: int, rho_next: int, rho_prev: int,
     return 0
 
 
+# t_blk note: an isolated per-stage sweep (256/512/768/1024 tile rows)
+# showed apparent large wins (e.g. C=64 stage 1.29 -> 0.71 ms at 768), but
+# NONE transfer in-pipeline — full-pipeline time got worse with every tuned
+# table tried (4.59 -> 5.09 all-stages, 4.59 -> 4.85 C=64-only).  Isolated
+# kernel runs overlap DMA differently than the composed graph; the kernel
+# default (512) stands.  Measure in-pipeline before touching this.
+
+
 def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, num_mels) -> waveform (B, T * hop_size)."""
     voc = params["vocoder"]
