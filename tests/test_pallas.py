@@ -69,6 +69,21 @@ def test_tail_tile_zero_padded(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_nonstandard_upsample_kernel_falls_back(rng):
+    """_grouped_g must reject K != 2*scale so a checkpoint with nonstandard
+    upsample kernel sizes takes the polyphase path instead of tripping the
+    grouped-transpose geometry assert (review finding r2)."""
+    from zerovox_tpu.models import hifigan
+    from zerovox_tpu.params import init_params as init
+    cfg = CFG.replace(upsample_kernel_sizes=(11, 8, 6),
+                      vocoder_backend="pallas")
+    assert hifigan._grouped_g(5, 16, 1, 1, 320, k=11) == 0
+    params = init(cfg, seed=0)
+    mel = jnp.asarray(rng.normal(size=(1, 32, cfg.num_mels)), jnp.float32)
+    wav = hifigan.vocode(params, cfg, mel)    # must not raise
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 def test_contract_mode_matches_default(rng):
     """folded_mrf_stage(contract=True) — the experimental lane-packed
     operand path — stays exact vs the W_delta default."""

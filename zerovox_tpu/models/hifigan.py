@@ -138,7 +138,13 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     for i, scale in enumerate(cfg.upsample_scales):
         up = voc["upsamples"][i]
         C_stage = up["w"].shape[2]
-        L_out = c.shape[1] * cur_rho * scale
+        # actual ConvTranspose output length — equals L*scale only for the
+        # standard K == 2*scale geometry; nonstandard kernels produce a few
+        # extra samples and must not be folded on the wrong length
+        L_in = c.shape[1] * cur_rho
+        K_up = up["w"].shape[0]
+        L_out = ((L_in - 1) * scale + K_up
+                 - 2 * (scale // 2 + scale % 2) + scale % 2)
         # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
         rho = 128 // C_stage if (128 % C_stage == 0) else 1
         rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
