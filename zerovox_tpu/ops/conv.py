@@ -632,12 +632,20 @@ def conv1d_folded_out_contract(xf: jnp.ndarray,
     qmin = min(q for q, _, _ in pieces)
     qmax = max(q for q, _, _ in pieces)
     xp = jnp.pad(x, ((0, 0), (-qmin, qmax), (0, 0)))
-    opnd = jnp.concatenate(
-        [xp[:, -qmin + q: -qmin + q + nblk_out, lo:hi]
-         for q, lo, hi in pieces], axis=-1)
-    opnd, W = _staged(opnd, W)
-    out = jnp.einsum("blc,co->blo", opnd, W,
-                     preferred_element_type=jnp.float32).astype(xf.dtype)
+    # one dot per piece instead of a lane-concat + single dot: the dominant
+    # piece is the full un-shifted block (a zero-copy row slice, ~4k lanes);
+    # only the tiny edge windows are separate operands.  The concat
+    # materialised the whole ~4k-wide operand — ~1 ms of copies at B=8.
+    out = None
+    row = 0
+    for q, lo, hi in pieces:
+        sl, Wp = _staged(xp[:, -qmin + q: -qmin + q + nblk_out, lo:hi],
+                         W[row: row + hi - lo])
+        y = jnp.einsum("blc,co->blo", sl, Wp,
+                       preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+        row += hi - lo
+    out = out.astype(xf.dtype)
     if b is not None:
         out = out + jnp.tile(b, rho_out)
     return out
