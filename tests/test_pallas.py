@@ -69,18 +69,23 @@ def test_tail_tile_zero_padded(rng):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_nonstandard_upsample_kernel_falls_back(rng):
-    """_grouped_g must reject K != 2*scale so a checkpoint with nonstandard
-    upsample kernel sizes takes the polyphase path instead of tripping the
-    grouped-transpose geometry assert (review finding r2)."""
+@pytest.mark.parametrize("kernels", [(11, 8, 6), (12, 8, 6)])
+def test_nonstandard_upsample_kernel_falls_back(rng, kernels):
+    """A checkpoint with nonstandard upsample kernels (K != 2*scale) must
+    take the polyphase fallback end to end: _grouped_g rejects it, the fold
+    decision uses the real ConvTranspose length, and the output tail crops
+    the overshoot instead of asserting.  (11,8,6) leaves the last stage
+    rho-indivisible; (12,8,6) leaves it rho-DIVISIBLE, which used to reach
+    the folded tail with a mismatched wav_len (review finding r2)."""
     from zerovox_tpu.models import hifigan
     from zerovox_tpu.params import init_params as init
-    cfg = CFG.replace(upsample_kernel_sizes=(11, 8, 6),
+    cfg = CFG.replace(upsample_kernel_sizes=kernels,
                       vocoder_backend="pallas")
-    assert hifigan._grouped_g(5, 16, 1, 1, 320, k=11) == 0
+    assert hifigan._grouped_g(5, 16, 1, 1, 320, k=kernels[0]) == 0
     params = init(cfg, seed=0)
     mel = jnp.asarray(rng.normal(size=(1, 32, cfg.num_mels)), jnp.float32)
     wav = hifigan.vocode(params, cfg, mel)    # must not raise
+    assert wav.shape[-1] <= 32 * cfg.hop_size
     assert np.isfinite(np.asarray(wav)).all()
 
 

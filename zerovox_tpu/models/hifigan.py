@@ -141,10 +141,10 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # actual ConvTranspose output length — equals L*scale only for the
         # standard K == 2*scale geometry; nonstandard kernels produce a few
         # extra samples and must not be folded on the wrong length
-        L_in = c.shape[1] * cur_rho
-        K_up = up["w"].shape[0]
-        L_out = ((L_in - 1) * scale + K_up
-                 - 2 * (scale // 2 + scale % 2) + scale % 2)
+        from ..ops.conv import transpose_out_len
+        L_out = transpose_out_len(c.shape[1] * cur_rho, scale,
+                                  up["w"].shape[0],
+                                  scale // 2 + scale % 2, scale % 2)
         # lane-dense folding for small-channel stages (C=64 -> rho 2, C=32 -> 4)
         rho = 128 // C_stage if (128 % C_stage == 0) else 1
         rho = min(rho, 8)   # diminishing returns / compile cost beyond 8
@@ -221,8 +221,12 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
     B = c.shape[0]
     wav_len = mel.shape[1] * cfg.hop_size
     out_w, out_b = voc["output_conv_w"], voc["output_conv_b"]
+    # the folded tail assumes the stages produced exactly wav_len samples;
+    # nonstandard upsample kernels (K != 2*scale) emit a few extra and must
+    # take the plain path, which crops below
     rho_out = (_folded_out_rho(wav_len, last_rho)
-               if last_rho > 1 and out_w.shape[2] == 1 else 0)
+               if (last_rho > 1 and out_w.shape[2] == 1
+                   and c.shape[1] * last_rho == wav_len) else 0)
     if rho_out:
         # tail stays lane-dense: the last stage's folded activation feeds a
         # folded-output conv (Cout=1 would otherwise be a 1-lane array whose
@@ -243,6 +247,8 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         c = leaky_relu(c, 0.01)
     c = conv1d(c, out_w, out_b, padding=pad)
     c = jnp.tanh(c)
+    if c.shape[1] > wav_len:     # nonstandard upsample kernels overshoot
+        c = c[:, :wav_len]
     # "dbg" mirrors the reference's permanent probe (src/hifigan.cpp:347)
     tap("dbg", c)
     return tap("wav", c[..., 0])

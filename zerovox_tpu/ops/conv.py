@@ -166,6 +166,14 @@ def conv1d(x: jnp.ndarray,
     return out
 
 
+def transpose_out_len(L: int, stride: int, K: int, padding: int,
+                      output_padding: int) -> int:
+    """ConvTranspose1d output length (torch semantics).  Equals L*stride
+    exactly when K == stride + 2*padding - output_padding (the standard
+    upsampling geometry with pad = s//2 + s%2, outpad = s%2 <=> K == 2s)."""
+    return (L - 1) * stride + K - 2 * padding + output_padding
+
+
 def conv_transpose1d_lax(x: jnp.ndarray,
                          w_flipped: jnp.ndarray,
                          b: Optional[jnp.ndarray] = None,
@@ -223,7 +231,7 @@ def conv_transpose1d(x: jnp.ndarray,
     """
     B, L, Cin = x.shape
     K, _, Cout = w_flipped.shape
-    out_len = (L - 1) * stride + K - 2 * padding + output_padding
+    out_len = transpose_out_len(L, stride, K, padding, output_padding)
     # at short lengths (streaming chunks, small buckets) the polyphase
     # slicing/stack overhead dominates — the lax path wins there
     if stride == 1 or out_len != L * stride or L < 8192:
@@ -325,7 +333,7 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     K, Cin, Cout = w_flipped.shape
     assert rc == rho_in * Cin
     L = R * rho_in
-    out_len = (L - 1) * stride + K - 2 * padding + output_padding
+    out_len = transpose_out_len(L, stride, K, padding, output_padding)
     assert out_len == L * stride, "grouped transpose requires same-multiple geometry"
     assert g % rho_in == 0 and L % g == 0
     a = g // rho_in

@@ -89,7 +89,7 @@ def pod_device_grid(devices: Sequence, hosts: int) -> np.ndarray:
         return np.asarray(list(devices), dtype=object).reshape(hosts, per_host)
     raise ValueError(
         f"device list spans {len(by_proc)} processes but hosts={hosts}; "
-        "pass hosts == number of processes (or 1 for a local/virtual mesh)")
+        "hosts must equal the number of processes for a multi-process mesh")
 
 
 def make_pod_mesh(hosts: int, model: int = 1,

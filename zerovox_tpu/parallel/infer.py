@@ -47,8 +47,10 @@ def make_sharded_synthesize(cfg: ZeroVoxConfig, mesh: Mesh, params,
         return _make_dp_shard_map(cfg, mesh, params)
 
     # TP: GSPMD partitioning — the Pallas kernel has no partitioning rule,
-    # so pin the vocoder to the XLA folded path (partitionable ops only)
-    if cfg.vocoder_backend == "auto":
+    # so pin the vocoder to the XLA folded path (partitionable ops only).
+    # This covers an explicit "pallas" too, not just "auto": under a
+    # channel-sharded mesh the custom call cannot partition at all.
+    if cfg.vocoder_backend in ("auto", "pallas"):
         cfg = cfg.replace(vocoder_backend="folded")
     p_specs = param_partition_specs(params, cfg)
 
