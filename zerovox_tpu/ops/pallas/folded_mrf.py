@@ -265,6 +265,12 @@ def folded_mrf_stage(xf: jnp.ndarray,
     stage output on the f32 accumulator before the final cast — the stage
     output always feeds one (0.1 pre-upsample / 0.01 pre-output-conv), and
     fusing it here removes an unfused elementwise HBM pass per stage.
+    Ordering note (ADVICE r2): the unfused path applies leaky AFTER the cast
+    to the output dtype, so on the bf16 serving path the fused form can
+    differ by up to ~2 bf16 ulps of the scaled value (one ulp from rounding
+    the pre-slope value, one from the final cast;
+    tests/test_pallas.py::test_out_leaky_bf16_ordering pins it).  The f32
+    parity path is exact.
 
     contract (default OFF) replaces each conv's n_delta full-width W_delta
     passes by ONE dot against the lane-packed exactly-touched input windows

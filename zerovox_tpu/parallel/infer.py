@@ -51,6 +51,13 @@ def make_sharded_synthesize(cfg: ZeroVoxConfig, mesh: Mesh, params,
     # This covers an explicit "pallas" too, not just "auto": under a
     # channel-sharded mesh the custom call cannot partition at all.
     if cfg.vocoder_backend in ("auto", "pallas"):
+        if cfg.vocoder_backend == "pallas":
+            import warnings
+            warnings.warn(
+                "vocoder_backend='pallas' is overridden to 'folded' under "
+                "tensor parallelism: the fused kernel has no GSPMD "
+                "partitioning rule (use time_shard_vocoder=True to keep it).",
+                stacklevel=2)
         cfg = cfg.replace(vocoder_backend="folded")
     p_specs = param_partition_specs(params, cfg)
 
