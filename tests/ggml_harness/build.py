@@ -1,0 +1,131 @@
+"""Build-and-load machinery for the ggml differential harness.
+
+Builds the VENDORED ggml runtime (/root/reference/ggml, CPU backend only)
+into a per-repo cache once, compiles tests/ggml_harness/harness.c against
+it, and exposes the result as a ctypes library.  Everything is best-effort:
+callers get (None, reason) when the toolchain or the reference tree is
+unavailable, and the differential tests skip.
+
+The reference tree is read-only and ships without ggml.pc.in / tests /
+examples; a symlink shadow tree supplies the missing stubs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+REF_GGML = Path("/root/reference/ggml")
+CACHE = Path(__file__).resolve().parents[2] / ".cache"
+SRC_SHADOW = CACHE / "ggml-src"
+BUILD = CACHE / "ggml-build"
+HARNESS_C = Path(__file__).resolve().parent / "harness.c"
+HARNESS_SO = CACHE / "zv_ggml_harness.so"
+
+_cached: Optional[Tuple[Optional[ctypes.CDLL], str]] = None
+
+
+def _run(cmd, timeout=600):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+def _shadow_tree():
+    if not (SRC_SHADOW / "CMakeLists.txt").exists():
+        SRC_SHADOW.parent.mkdir(parents=True, exist_ok=True)
+        shutil.rmtree(SRC_SHADOW, ignore_errors=True)
+        # symlink farm: sources stay in the read-only reference tree
+        subprocess.run(["cp", "-rs", str(REF_GGML), str(SRC_SHADOW)],
+                       check=True)
+    pc = SRC_SHADOW / "ggml.pc.in"
+    if not pc.exists():
+        pc.write_text("prefix=@CMAKE_INSTALL_PREFIX@\nName: ggml\n"
+                      "Description: ggml\nVersion: @GGML_INSTALL_VERSION@\n")
+    for d in ("tests", "examples"):
+        (SRC_SHADOW / d).mkdir(exist_ok=True)
+
+
+def _build_ggml() -> Optional[str]:
+    """Returns None on success, else the failure reason."""
+    libs = [BUILD / "src" / n
+            for n in ("libggml-base.so", "libggml-cpu.so")]
+    if all(p.exists() for p in libs):
+        return None
+    if not REF_GGML.exists():
+        return "reference ggml tree not available"
+    if not shutil.which("cmake") or not shutil.which("ninja"):
+        return "cmake/ninja not available"
+    try:
+        _shadow_tree()
+        r = _run(["cmake", "-S", str(SRC_SHADOW), "-B", str(BUILD),
+                  "-G", "Ninja", "-DBUILD_SHARED_LIBS=ON", "-DGGML_CPU=ON",
+                  "-DGGML_BUILD_TESTS=OFF", "-DGGML_BUILD_EXAMPLES=OFF",
+                  "-DCMAKE_BUILD_TYPE=Release"])
+        if r.returncode:
+            return f"cmake configure failed: {r.stderr[-400:]}"
+        r = _run(["ninja", "-C", str(BUILD)])
+        if r.returncode:
+            return f"ninja failed: {r.stderr[-400:]}"
+    except (subprocess.TimeoutExpired, OSError) as e:
+        return f"ggml build error: {e}"
+    if not all(p.exists() for p in libs):
+        return "ggml build produced no libraries"
+    return None
+
+
+def _build_harness() -> Optional[str]:
+    if (HARNESS_SO.exists()
+            and HARNESS_SO.stat().st_mtime >= HARNESS_C.stat().st_mtime):
+        return None
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if not cc:
+        return "no C compiler"
+    libdir = BUILD / "src"
+    r = _run([cc, "-shared", "-fPIC", "-O2",
+              "-I", str(REF_GGML / "include"), str(HARNESS_C),
+              "-o", str(HARNESS_SO), "-L", str(libdir),
+              "-lggml-cpu", "-lggml-base", f"-Wl,-rpath,{libdir}"])
+    if r.returncode:
+        return f"harness compile failed: {r.stderr[-400:]}"
+    return None
+
+
+def _declare(lib: ctypes.CDLL):
+    i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+    c_int, c_float = ctypes.c_int, ctypes.c_float
+    lib.zv_ggml_norm.argtypes = [f32p, i64, i64, c_float, f32p]
+    lib.zv_ggml_norm.restype = c_int
+    lib.zv_ggml_soft_max.argtypes = [f32p, i64, i64, f32p]
+    lib.zv_ggml_soft_max.restype = c_int
+    lib.zv_ggml_mul_mat.argtypes = [f32p, i64, i64, c_int, f32p, i64, f32p]
+    lib.zv_ggml_mul_mat.restype = c_int
+    lib.zv_ggml_conv_1d.argtypes = [f32p, i64, i64, i64, c_int, f32p, i64,
+                                    c_int, c_int, c_int, f32p]
+    lib.zv_ggml_conv_1d.restype = c_int
+    lib.zv_ggml_conv_transpose_1d_ref.argtypes = [
+        f32p, i64, i64, i64, c_int, f32p, i64, c_int, c_int, c_int, f32p]
+    lib.zv_ggml_conv_transpose_1d_ref.restype = c_int
+    lib.zv_ggml_conv_out_len.argtypes = [i64, i64, c_int, c_int, c_int]
+    lib.zv_ggml_conv_out_len.restype = i64
+
+
+def get_harness() -> Tuple[Optional[ctypes.CDLL], str]:
+    """(lib, "") on success, (None, reason) otherwise.  Cached per process."""
+    global _cached
+    if _cached is not None:
+        return _cached
+    reason = _build_ggml() or _build_harness()
+    if reason:
+        _cached = (None, reason)
+        return _cached
+    try:
+        lib = ctypes.CDLL(str(HARNESS_SO))
+        _declare(lib)
+    except OSError as e:
+        _cached = (None, f"dlopen failed: {e}")
+        return _cached
+    _cached = (lib, "")
+    return _cached
