@@ -33,7 +33,8 @@ class TTSEngine:
 
     def __init__(self, params, cfg: ZeroVoxConfig,
                  mel_buckets: Sequence[int] = (256, 512, 1024),
-                 precision: str = "float32"):
+                 precision: str = "float32",
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8)):
         if precision not in ("float32", "bfloat16"):
             raise ValueError(f"unknown precision {precision!r}")
         if precision == "bfloat16":
@@ -48,6 +49,16 @@ class TTSEngine:
         # buckets are mel-frame capacities, always ending at max_seq_len
         bks = sorted(set(int(b) for b in mel_buckets if b < cfg.max_seq_len))
         self.mel_buckets: Tuple[int, ...] = tuple(bks) + (cfg.max_seq_len,)
+        # synthesize_packed pads each bucket group to the smallest ladder
+        # size that fits (splitting groups larger than the ladder top), so
+        # the vocoder compile-key set is bounded at
+        # len(mel_buckets) x len(batch_ladder) and warmup() can cover it —
+        # group sizes are data-dependent and would otherwise each be a
+        # fresh XLA program (a multi-minute first-compile on the tunnel).
+        if not batch_ladder:
+            raise ValueError("batch_ladder must be non-empty")
+        self.batch_ladder: Tuple[int, ...] = tuple(sorted(set(
+            int(b) for b in batch_ladder)))
 
         cfg_ = cfg
 
@@ -94,27 +105,63 @@ class TTSEngine:
                 return b
         return self.mel_buckets[-1]
 
+    def ladder_size(self, n: int) -> int:
+        """Smallest ladder batch covering n (capped at the ladder top)."""
+        for s in self.batch_ladder:
+            if n <= s:
+                return s
+        return self.batch_ladder[-1]
+
     def warmup(self, batch: int = 1):
+        """Compile every program serving can hit: the front at `batch`, and
+        the vocoder at each bucket for batch `batch` (synthesize) and for
+        each ladder size <= ladder_size(batch) (synthesize_packed groups)."""
         cfg = self.cfg
         src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
         style = jnp.zeros((batch, cfg.d_model), jnp.float32)
         mel, _ = self._front(self.params, src, src, style,
                              jnp.zeros((batch,), jnp.int32))
+        sizes = {batch} | {s for s in self.batch_ladder
+                           if s <= self.ladder_size(batch)}
         for b in self.mel_buckets:
-            self._back_fn(b)(self.params, mel[:, :b])
+            for s in sorted(sizes):
+                mel_s = mel[:s] if s <= batch else jnp.concatenate(
+                    [mel] * (-(-s // batch)), axis=0)[:s]
+                self._back_fn(b)(self.params, mel_s[:, :b])
 
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,
-                   num_phonemes=None, trim: bool = True
+                   num_phonemes=None, trim: bool = True,
+                   single_rtt: Optional[bool] = None
                    ) -> Tuple[List[np.ndarray], np.ndarray]:
         """Batched synthesis with bucket dispatch.
 
         Returns (list of per-utterance waveforms (trimmed to mel_len*hop when
-        trim=True), mel_len array).  The whole batch vocodes at the bucket of
-        its longest utterance; for mixed-length batches use
+        trim=True), mel_len array).
+
+        single_rtt (default: on for B == 1) dispatches the max-bucket vocoder
+        speculatively BEFORE fetching mel_len and fetches wav + mel_len in one
+        device_get — one ~30 ms tunnel round trip instead of two.  The max
+        bucket always covers the true length, so speculation never rolls
+        back; it just skips the bucket compute saving, which at B=1 is ~5 ms
+        against the ~30 ms RTT it removes (the streaming TTFA trick,
+        models/streaming.py).  With single_rtt off, the whole batch vocodes
+        at the bucket of its longest utterance; for mixed-length batches use
         synthesize_packed(), which routes each bucket group separately.
         """
-        mel, mel_len_h, style_embed = self._run_front(
+        if single_rtt is None:
+            single_rtt = jnp.asarray(src_seq).shape[0] == 1
+        if single_rtt:
+            mel, mel_len = self._dispatch_front(
+                src_seq, puncts, style_embed, num_phonemes)
+            bucket = self.mel_buckets[-1]
+            wav = self._back_fn(bucket)(self.params, mel[:, :bucket])
+            wav_h, mel_len_h = jax.device_get((wav, mel_len))   # ONE fetch
+            wav_h = np.asarray(wav_h, dtype=np.float32)
+            mel_len_h = np.asarray(mel_len_h)
+            return self._trim(wav_h, mel_len_h, trim), mel_len_h
+
+        mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
         B = mel.shape[0]
         bucket = self.pick_bucket(int(mel_len_h.max()) if B else 0)
@@ -132,25 +179,38 @@ class TTSEngine:
         one vocoder dispatch per group, so short utterances in a mixed batch
         do not pay the longest utterance's compute.  Outputs are identical to
         synthesize() (both match the full-length run on the trimmed region).
+
+        Group sizes are data-dependent, so each group is padded (rows
+        repeated) up to the engine's batch_ladder — and split into
+        ladder-top chunks first when larger — keeping the vocoder
+        compile-key set bounded at len(mel_buckets) x len(batch_ladder),
+        all of which warmup() pre-compiles.
         """
-        mel, mel_len_h, _ = self._run_front(
+        mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
         B = mel.shape[0]
         cfg = self.cfg
+        top = self.batch_ladder[-1]
         wavs: List[Optional[np.ndarray]] = [None] * B
         for bucket, idxs in self.group_by_bucket(mel_len_h).items():
-            mel_g = jnp.take(mel, jnp.asarray(idxs, jnp.int32), axis=0)
-            wav = self._back_fn(bucket)(self.params, mel_g[:, :bucket])
-            wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
-            for k, i in enumerate(idxs):
-                w = wav_h[k]
-                if trim:
-                    w = w[: int(mel_len_h[i]) * cfg.hop_size]
-                wavs[i] = w
+            for c0 in range(0, len(idxs), top):
+                chunk = idxs[c0:c0 + top]
+                size = self.ladder_size(len(chunk))
+                padded = chunk + [chunk[0]] * (size - len(chunk))
+                mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
+                wav = self._back_fn(bucket)(self.params, mel_g[:, :bucket])
+                wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
+                for k, i in enumerate(chunk):
+                    w = wav_h[k]
+                    if trim:
+                        w = w[: int(mel_len_h[i]) * cfg.hop_size]
+                    wavs[i] = w
         return wavs, mel_len_h
 
     # ---------------------------------------------------------------- helpers
-    def _run_front(self, src_seq, puncts, style_embed, num_phonemes):
+    def _dispatch_front(self, src_seq, puncts, style_embed, num_phonemes):
+        """Dispatch the front program; returns DEVICE (mel, mel_len) with no
+        host fetch (the single-RTT path fetches mel_len with the wav)."""
         cfg = self.cfg
         src_seq = jnp.asarray(src_seq, jnp.int32)
         puncts = jnp.asarray(puncts, jnp.int32)
@@ -160,10 +220,14 @@ class TTSEngine:
             num_phonemes = jnp.full((B,), cfg.max_n_phonemes, jnp.int32)
         else:
             num_phonemes = jnp.asarray(num_phonemes, jnp.int32)
-        mel, mel_len = self._front(self.params, src_seq, puncts,
-                                   style_embed, num_phonemes)
+        return self._front(self.params, src_seq, puncts,
+                           style_embed, num_phonemes)
+
+    def _run_front(self, src_seq, puncts, style_embed, num_phonemes):
+        mel, mel_len = self._dispatch_front(
+            src_seq, puncts, style_embed, num_phonemes)
         mel_len_h = np.asarray(jax.device_get(mel_len))
-        return mel, mel_len_h, style_embed
+        return mel, mel_len_h
 
     def _trim(self, wav_h: np.ndarray, mel_len_h: np.ndarray, trim: bool
               ) -> List[np.ndarray]:
