@@ -69,6 +69,30 @@ def test_tail_tile_zero_padded(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("nrows,t_blk,g", [
+    (39, 16, 1),    # unaligned rows, multi-tile: edge-branch DMA + tail patch
+    (5, 16, 1),     # rows < one sublane: tail-only tile (zero-size bulk DMA)
+    (42, 16, 2),    # grouped input with unaligned grouped rows
+])
+def test_unaligned_rows_edge_branches(rng, nrows, t_blk, g):
+    """The kernel consumes the input UNPADDED (r3): per-tile DMA branches
+    clip the halo window to the array and the sub-sublane remainder rows
+    arrive via the VMEM tail patch (_fetch_plan).  Any nrows % sublane != 0
+    (the production T=1500 geometry is ≡ 4 mod 8) must still bit-match the
+    XLA folded path."""
+    params = init_params(CFG, seed=0)
+    C, rho = 16, 8
+    x = jnp.asarray(rng.normal(size=(1, nrows * rho, C)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, ref = _stage(params, 0, xf, rho)
+    xin = xf.reshape(1, nrows // g, g * xf.shape[-1]) if g > 1 else xf
+    got = folded_mrf_stage(xin, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=t_blk,
+                           in_group=g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("kernels", [(11, 8, 6), (12, 8, 6)])
 def test_nonstandard_upsample_kernel_falls_back(rng, kernels):
     """A checkpoint with nonstandard upsample kernels (K != 2*scale) must
