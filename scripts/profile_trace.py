@@ -14,16 +14,23 @@ Replaces the capability of the reference's printf timing sums
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import glob
 import gzip
 import json
-import sys
 import tempfile
 from collections import defaultdict
 
 
 def aggregate_trace(logdir: str, runs: int):
+    """Sum complete-event durations on the device 'XLA Ops' lanes only —
+    host-side lanes (python dispatch, compilation) would otherwise dominate
+    the aggregate with wall time that is not device time."""
     files = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
     if not files:
         raise FileNotFoundError(f"no trace json under {logdir}")
@@ -31,15 +38,26 @@ def aggregate_trace(logdir: str, runs: int):
     for f in files:
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X":
+        events = data.get("traceEvents", [])
+        dev_pids, op_tids = set(), set()
+        for ev in events:
+            if ev.get("ph") != "M":
                 continue
-            # device lanes only: TPU op events carry run/correlation args
+            args = ev.get("args", {})
+            if ev.get("name") == "process_name" and "TPU" in str(
+                    args.get("name", "")):
+                dev_pids.add(ev.get("pid"))
+            if ev.get("name") == "thread_name" and "XLA Ops" in str(
+                    args.get("name", "")):
+                op_tids.add((ev.get("pid"), ev.get("tid")))
+        for ev in events:
+            if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+                continue
+            if op_tids and (ev.get("pid"), ev.get("tid")) not in op_tids:
+                continue
             name = ev.get("name", "")
-            if not name or name.startswith("$"):
-                continue
-            pid_name = ev.get("pid")
-            by_name[name] += ev.get("dur", 0.0)
+            if name:
+                by_name[name] += ev.get("dur", 0.0)
     return {k: v / runs / 1e3 for k, v in by_name.items()}   # ms per run
 
 
@@ -76,14 +94,12 @@ def main():
 
     fn = jax.jit(lambda p, a, b, c: synthesize(p, cfg, a, b, c).wav)
     fn(params, src, pun, style).block_until_ready()
-    # chain via data dependency so the runs cannot overlap-collapse
-    out = None
+    # per-op durations sum correctly even if runs overlap on device, so a
+    # plain dispatch loop suffices (no data-dependent chain needed here)
     logdir = tempfile.mkdtemp(prefix="zv_trace_")
     with trace(logdir):
-        s = style
         for _ in range(args.runs):
-            w = fn(params, src, pun, s)
-            s = style + w[:, :1].astype(style.dtype) * 1e-9
+            w = fn(params, src, pun, style)
         w.block_until_ready()
     import time
     time.sleep(2)   # let the profiler flush through the tunnel
