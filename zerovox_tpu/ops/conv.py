@@ -420,23 +420,33 @@ def unfold(xf: jnp.ndarray, rho: int) -> jnp.ndarray:
     return xf.reshape(B, nblk * rho, rc // rho)
 
 
-def _folded_weight_terms(k: int, rho: int, padding: int, dilation: int):
+def _folded_weight_terms(k: int, rho: int, padding: int, dilation: int,
+                         dphase: int = 0):
     """Static map delta -> [(slot_in, slot_out, tap)] for the folded conv.
 
     Output block b, slot i takes tap j from absolute position
     b*rho + i + j*dilation - padding = (b+delta)*rho + r.
+
+    dphase = phase_in - phase_out generalizes to PHASE-SHIFTED folded
+    layouts (slot i of block b holding timestep b*rho + i - phase): the
+    phase difference shifts every position by a constant, which can shrink
+    the delta set — e.g. rho=4, k=3, d=1 drops from 3 offsets to 2 at
+    |dphase| = 1.  The fused MRF kernel exploits this per conv pair
+    (ops/pallas/folded_mrf.py): the intermediate between convs1 and convs2
+    lives at a shifted phase, entirely absorbed into the weight scatter —
+    zero runtime relayout, ~25% fewer MXU passes per folded stage.
     """
     terms = {}
     for j in range(k):
         for i in range(rho):
-            pos = i + j * dilation - padding
+            pos = i + j * dilation - padding + dphase
             delta, r = pos // rho, pos % rho
             terms.setdefault(delta, []).append((r, i, j))
     return sorted(terms.items())
 
 
 def build_wdelta(w: jnp.ndarray, rho_in: int, rho_out: int,
-                 padding: int, dilation: int):
+                 padding: int, dilation: int, dphase: int = 0):
     """Stacked folded weight matrices for a stride-1 conv.
 
     Returns (deltas, W) with W of shape
@@ -444,13 +454,14 @@ def build_wdelta(w: jnp.ndarray, rho_in: int, rho_out: int,
     i*Cout:(i+1)Cout] = w[j] when output slot i takes tap j from input slot r
     of block offset deltas[d].  Built with ONE gather from a static index
     table (a per-tap scatter chain explodes XLA compile time at rho_out=128).
+    dphase = phase_in - phase_out, see _folded_weight_terms.
     """
     import numpy as np
     k, Cin, Cout = w.shape
     terms = {}
     for j in range(k):
         for i_out in range(rho_out):
-            pos = i_out + j * dilation - padding
+            pos = i_out + j * dilation - padding + dphase
             delta, r = pos // rho_in, pos % rho_in
             terms.setdefault(delta, []).append((r, i_out, j))
     deltas = sorted(terms)
