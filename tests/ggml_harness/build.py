@@ -110,6 +110,13 @@ def _declare(lib: ctypes.CDLL):
     lib.zv_ggml_conv_transpose_1d_ref.restype = c_int
     lib.zv_ggml_conv_out_len.argtypes = [i64, i64, c_int, c_int, c_int]
     lib.zv_ggml_conv_out_len.restype = i64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.zv_ggml_quantize.argtypes = [c_int, f32p, u8p, i64, i64]
+    lib.zv_ggml_quantize.restype = i64
+    lib.zv_ggml_quantize_row.argtypes = [c_int, f32p, u8p, i64]
+    lib.zv_ggml_quantize_row.restype = c_int
+    lib.zv_ggml_dequantize.argtypes = [c_int, u8p, f32p, i64]
+    lib.zv_ggml_dequantize.restype = c_int
 
 
 def get_harness() -> Tuple[Optional[ctypes.CDLL], str]:

@@ -169,3 +169,57 @@ int zv_ggml_conv_transpose_1d_ref(const float *w_flipped, int64_t K,
 int64_t zv_ggml_conv_out_len(int64_t T, int64_t K, int s, int p, int d) {
     return (T + 2 * p - d * (K - 1) - 1) / s + 1;
 }
+
+/* ggml's f16<->f32 conversions go through lookup tables populated by
+ * ggml_init; the (de)quantize entry points below use no context of their
+ * own, so initialise the tables once via a throwaway context. */
+static void ensure_tables(void) {
+    static int done = 0;
+    if (!done) {
+        struct ggml_context *c = mk_ctx(1);
+        if (c) ggml_free(c);
+        done = 1;
+    }
+}
+
+/* Quantize nrows x n_per_row floats to `type` raw bytes via the public
+ * ggml_quantize_chunk (ggml.c:6341 — the path every exporter uses).
+ * Returns bytes written, or -1 on failure. */
+int64_t zv_ggml_quantize(int type, const float *x, void *out,
+                         int64_t nrows, int64_t n_per_row) {
+    ensure_tables();
+    size_t n = ggml_quantize_chunk((enum ggml_type) type, x, out, 0,
+                                   nrows, n_per_row, NULL);
+    return n ? (int64_t) n : -1;
+}
+
+/* Quantize one row via the CPU-traits from_float — covers Q8_K, the
+ * matmul-path intermediate that ggml_quantize_chunk does not expose. */
+int zv_ggml_quantize_row(int type, const float *x, void *out, int64_t n) {
+    ensure_tables();
+    const struct ggml_type_traits_cpu *tt =
+        ggml_get_type_traits_cpu((enum ggml_type) type);
+    if (!tt || !tt->from_float) return -1;
+    tt->from_float(x, out, n);
+    return 0;
+}
+
+/* Q8_K is absent from the base type-traits table (ggml.c:780 registers no
+ * to_float for it); its row dequantizer is still an exported symbol. */
+extern void dequantize_row_q8_K(const void *x, float *y, int64_t k);
+
+/* Dequantize n elements of `type` raw bytes via the type-traits to_float
+ * (dequantize_row_* in ggml-quants.c) — the ground truth our numpy
+ * dequantizers are differential-tested against. */
+int zv_ggml_dequantize(int type, const void *raw, float *out, int64_t n) {
+    ensure_tables();
+    if ((enum ggml_type) type == GGML_TYPE_Q8_K) {
+        dequantize_row_q8_K(raw, out, n);
+        return 0;
+    }
+    const struct ggml_type_traits *tt =
+        ggml_get_type_traits((enum ggml_type) type);
+    if (!tt || !tt->to_float) return -1;
+    tt->to_float(raw, out, n);
+    return 0;
+}

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from zerovox_tpu.io import gguf
 from zerovox_tpu.ops import instance_norm, layer_norm, linear
 from zerovox_tpu.ops.conv import conv1d, conv_transpose1d, f16_staging
 
@@ -168,3 +169,39 @@ def test_conv_transpose_matches_ggml_composition(K, Cin, Cout, T, s, p, op):
         )(xj, wj))[0].T
     scale = max(np.abs(out).max(), 1e-3)
     np.testing.assert_allclose(ours, out, atol=1.5e-3 * scale, rtol=2e-3)
+
+
+# ------------------------------------------------------------ quantization
+# Ground truth for every dequantizer the GGUF reader advertises: quantize
+# random rows with the REAL ggml quantizers (ggml_quantize_chunk /
+# from_float), then assert our numpy dequant == ggml's to_float
+# (dequantize_row_* in ggml-quants.c) on the same raw bytes.
+@pytest.mark.parametrize("gt", sorted(gguf._DEQUANTIZERS,
+                                      key=lambda t: int(t)),
+                         ids=lambda t: t.name)
+def test_dequantize_matches_ggml(gt):
+    from zerovox_tpu.io.gguf import _TYPE_TRAITS
+    rng = _rng()
+    nrows, n_per_row = 5, 512
+    n = nrows * n_per_row
+    blk, bpb = _TYPE_TRAITS[gt]
+    nbytes = n // blk * bpb
+    x = (rng.normal(size=(nrows, n_per_row)) * 2.5).astype(np.float32)
+    raw = np.zeros(nbytes, np.uint8)
+    u8 = raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if gt == gguf.GGMLType.Q8_K:
+        # matmul-path intermediate: ggml_quantize_chunk ASSERTS on it, only
+        # the CPU-traits from_float (quantize_row_q8_K) produces it
+        row_b = nbytes // nrows
+        for r in range(nrows):
+            assert LIB.zv_ggml_quantize_row(
+                int(gt), _fp(x[r]), raw[r * row_b:].ctypes
+                .data_as(ctypes.POINTER(ctypes.c_uint8)), n_per_row) == 0
+    else:
+        wrote = LIB.zv_ggml_quantize(int(gt), _fp(x), u8, nrows, n_per_row)
+        assert wrote == nbytes, (gt.name, wrote, nbytes)
+    ref = np.empty(n, np.float32)
+    assert LIB.zv_ggml_dequantize(int(gt), u8, _fp(ref), n) == 0
+    ours = gguf._DEQUANTIZERS[gt](raw, n)
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6,
+                               err_msg=gt.name)

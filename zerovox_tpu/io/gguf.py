@@ -65,12 +65,18 @@ _TYPE_TRAITS: Dict[int, Tuple[int, int]] = {
     GGMLType.Q5_0: (32, 22),
     GGMLType.Q5_1: (32, 24),
     GGMLType.Q8_0: (32, 34),
-    # K-quants: 256-element super-blocks.  Q6_K is the one K-quant worth
-    # reading for this model family (per-channel weights quantize well to it);
-    # Q2_K..Q5_K and Q8_K (an un-stored intermediate in ggml's matmul path,
-    # ggml-quants.c quantize_row_q8_K) are out of scope — get() raises with
-    # a clear message and get_raw() still works.
+    # K-quants: 256-element super-blocks (ggml-common.h block_q*_K structs).
+    # All six stored K-quants read and dequantize; Q8_K (an un-stored
+    # intermediate of ggml's matmul path, quantize_row_q8_K) reads too so a
+    # file that stores one is not a hard error.  Every dequantizer is
+    # differential-tested against the compiled vendored ggml runtime's
+    # to_float on ggml-quantized data (tests/test_ggml_diff.py).
+    GGMLType.Q2_K: (256, 84),
+    GGMLType.Q3_K: (256, 110),
+    GGMLType.Q4_K: (256, 144),
+    GGMLType.Q5_K: (256, 176),
     GGMLType.Q6_K: (256, 210),
+    GGMLType.Q8_K: (256, 292),
 }
 
 _NUMPY_DTYPES: Dict[int, np.dtype] = {
@@ -195,6 +201,118 @@ def dequantize_q5_1(raw: np.ndarray, nelements: int) -> np.ndarray:
     return (q * d + m).reshape(-1)[:nelements]
 
 
+def _f16_col(blocks: np.ndarray, off: int) -> np.ndarray:
+    """One little-endian f16 per block at byte offset `off`, as (nb,) f32."""
+    return (blocks[:, off:off + 2].copy().view(np.float16)
+            .astype(np.float32).reshape(-1))
+
+
+def dequantize_q2_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q2_K: 256-elem super-block = 16 packed 4|4-bit (scale|min) bytes,
+    64 bytes of 2-bit quants, f16 d, f16 dmin
+    (x = d*(sc&0xF)*q2 - dmin*(sc>>4), 16 groups of 16).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q2_K."""
+    blocks = raw.reshape(-1, 84)
+    nb = blocks.shape[0]
+    sc = blocks[:, :16].reshape(nb, 2, 4, 2)         # (half, shift, sub)
+    qs = blocks[:, 16:80].reshape(nb, 2, 1, 2, 16)   # (half, -, sub, lane)
+    d = _f16_col(blocks, 80)[:, None, None, None]
+    dmin = _f16_col(blocks, 82)[:, None, None, None]
+    shifts = np.arange(0, 8, 2, dtype=np.uint8).reshape(1, 1, 4, 1, 1)
+    q = ((qs >> shifts) & 3).astype(np.float32)      # (nb, 2, 4, 2, 16)
+    dl = d * (sc & 0xF).astype(np.float32)
+    ml = dmin * (sc >> 4).astype(np.float32)
+    y = dl[..., None] * q - ml[..., None]
+    return y.reshape(-1)[:nelements]
+
+
+def dequantize_q3_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q3_K: 256-elem super-block = 32 high-bit-mask bytes, 64 bytes of
+    2-bit low quants, 12 bytes of packed 6-bit group scales, f16 d
+    (x = d*(sc-32)*(q3 - 4*!hbit), 16 groups of 16).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q3_K
+    (the kmask scale unpack is reproduced per byte)."""
+    blocks = raw.reshape(-1, 110)
+    nb = blocks.shape[0]
+    hm = blocks[:, :32].reshape(nb, 1, 1, 2, 16)     # (half*shift bit picks)
+    qs = blocks[:, 32:96].reshape(nb, 2, 1, 2, 16)
+    sb = blocks[:, 96:108]                           # packed 6-bit scales
+    d = _f16_col(blocks, 108)[:, None, None, None]
+    # byte j of the unpacked 16: low 4 bits from sb[j]&0xF (j<8) or
+    # sb[j-8]>>4 (j>=8); high 2 bits from sb[8 + j%4] >> (2*(j//4))
+    lo4 = np.concatenate([sb[:, :8] & 0xF, sb[:, :8] >> 4], axis=1)
+    j = np.arange(16)
+    hi2 = (sb[:, 8 + j % 4] >> (2 * (j // 4)).astype(np.uint8)) & 3
+    sc6 = (lo4 | (hi2 << 4)).astype(np.float32) - 32.0
+    sc6 = sc6.reshape(nb, 2, 4, 2)
+    shifts = np.arange(0, 8, 2, dtype=np.uint8).reshape(1, 1, 4, 1, 1)
+    q = ((qs >> shifts) & 3).astype(np.float32)
+    bit = (np.arange(2)[:, None] * 4 + np.arange(4)).astype(np.uint8)
+    hbit = (hm >> bit.reshape(1, 2, 4, 1, 1)) & 1    # (nb, 2, 4, 2, 16)
+    q = q - np.where(hbit, 0.0, 4.0).astype(np.float32)
+    y = (d * sc6)[..., None] * q
+    return y.reshape(-1)[:nelements]
+
+
+def _kscale_min6(sb: np.ndarray):
+    """Unpack the 12-byte packed 6-bit (scale, min) table shared by Q4_K /
+    Q5_K (ggml-quants.c get_scale_min_k4): 8 pairs, j<4 straight 6-bit
+    fields, j>=4 split across the nibble bytes + top bits of the first 8."""
+    nb = sb.shape[0]
+    sc = np.empty((nb, 8), np.float32)
+    mn = np.empty((nb, 8), np.float32)
+    sc[:, :4] = (sb[:, :4] & 63).astype(np.float32)
+    mn[:, :4] = (sb[:, 4:8] & 63).astype(np.float32)
+    sc[:, 4:] = ((sb[:, 8:12] & 0xF) | ((sb[:, :4] >> 6) << 4)).astype(np.float32)
+    mn[:, 4:] = ((sb[:, 8:12] >> 4) | ((sb[:, 4:8] >> 6) << 4)).astype(np.float32)
+    return sc.reshape(nb, 4, 2), mn.reshape(nb, 4, 2)
+
+
+def dequantize_q4_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q4_K: 256-elem super-block = f16 d, f16 dmin, 12 packed scale/min
+    bytes, 128 nibble bytes (x = d*sc[g]*nib - dmin*mn[g], 8 groups of 32;
+    low nibbles are the even groups).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q4_K."""
+    blocks = raw.reshape(-1, 144)
+    nb = blocks.shape[0]
+    d = _f16_col(blocks, 0)[:, None, None]
+    dmin = _f16_col(blocks, 2)[:, None, None]
+    sc, mn = _kscale_min6(blocks[:, 4:16])
+    nibs = blocks[:, 16:].reshape(nb, 4, 32)
+    q = np.stack([nibs & 0xF, nibs >> 4], axis=2).astype(np.float32)
+    y = (d * sc)[..., None] * q - (dmin * mn)[..., None]
+    return y.reshape(-1)[:nelements]
+
+
+def dequantize_q5_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q5_K: Q4_K plus 32 high-bit bytes before the nibbles; group g takes
+    qh bit g of each byte (x = d*sc[g]*(nib + 16*hbit) - dmin*mn[g]).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q5_K."""
+    blocks = raw.reshape(-1, 176)
+    nb = blocks.shape[0]
+    d = _f16_col(blocks, 0)[:, None, None]
+    dmin = _f16_col(blocks, 2)[:, None, None]
+    sc, mn = _kscale_min6(blocks[:, 4:16])
+    qh = blocks[:, 16:48].reshape(nb, 1, 1, 32)
+    nibs = blocks[:, 48:].reshape(nb, 4, 32)
+    u = (np.arange(4)[:, None] * 2 + np.arange(2)).astype(np.uint8)
+    hbit = (qh >> u.reshape(1, 4, 2, 1)) & 1
+    q = (np.stack([nibs & 0xF, nibs >> 4], axis=2)
+         + 16 * hbit).astype(np.float32)
+    y = (d * sc)[..., None] * q - (dmin * mn)[..., None]
+    return y.reshape(-1)[:nelements]
+
+
+def dequantize_q8_k(raw: np.ndarray, nelements: int) -> np.ndarray:
+    """Q8_K: f32 d + 256 int8 + 16 int16 group sums (sums are matmul-path
+    metadata, ignored on dequant; x = d * q).
+    Matches /root/reference/ggml/src/ggml-quants.c dequantize_row_q8_K."""
+    blocks = raw.reshape(-1, 292)
+    d = blocks[:, :4].copy().view(np.float32)        # (nb, 1)
+    qs = blocks[:, 4:260].view(np.int8).astype(np.float32)
+    return (d * qs).reshape(-1)[:nelements]
+
+
 def dequantize_q6_k(raw: np.ndarray, nelements: int) -> np.ndarray:
     """Q6_K: 256-element super-blocks = ql[128] low nibbles, qh[64] 2-bit
     highs, 16 int8 group scales, f16 d (x = d * sc[g] * (q6 - 32)).
@@ -229,7 +347,12 @@ _DEQUANTIZERS = {
     GGMLType.Q4_1: dequantize_q4_1,
     GGMLType.Q5_0: dequantize_q5_0,
     GGMLType.Q5_1: dequantize_q5_1,
+    GGMLType.Q2_K: dequantize_q2_k,
+    GGMLType.Q3_K: dequantize_q3_k,
+    GGMLType.Q4_K: dequantize_q4_k,
+    GGMLType.Q5_K: dequantize_q5_k,
     GGMLType.Q6_K: dequantize_q6_k,
+    GGMLType.Q8_K: dequantize_q8_k,
 }
 
 
