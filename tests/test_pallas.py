@@ -204,3 +204,28 @@ def test_out_leaky_bf16_ordering(rng):
     # one from the final cast
     ulp = np.maximum(np.abs(r), np.abs(g)) * 2.0 ** -8 + 1e-9
     assert np.all(np.abs(r - g) <= 2 * ulp)
+
+
+def test_phase_shift_reduces_passes():
+    """The phase-shifted intermediate layout (r3) must keep its measured
+    MXU-pass reduction on the production geometry (k=3, dilations 1/3/5):
+    22->16 per resblock at rho=2, 20->15 at rho=4 — and never lose to
+    phase 0 on any geometry the config space can produce."""
+    from zerovox_tpu.ops.pallas.folded_mrf import _best_phase
+
+    def passes(k, rho, dils, phased):
+        n = 0
+        for d in dils:
+            phi = _best_phase(k, rho, d) if phased else 0
+            n += len(_conv_schedule(k, rho, d, -phi))
+            n += len(_conv_schedule(k, rho, 1, phi))
+        return n
+
+    assert passes(3, 2, (1, 3, 5), False) == 22
+    assert passes(3, 2, (1, 3, 5), True) == 16
+    assert passes(3, 4, (1, 3, 5), False) == 20
+    assert passes(3, 4, (1, 3, 5), True) == 15
+    for k in (3, 5, 7):
+        for rho in (2, 4, 8, 16):
+            for dils in ((1, 3, 5), (1, 3), (1, 2)):
+                assert passes(k, rho, dils, True) <= passes(k, rho, dils, False)
