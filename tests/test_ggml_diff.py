@@ -205,3 +205,29 @@ def test_dequantize_matches_ggml(gt):
     ours = gguf._DEQUANTIZERS[gt](raw, n)
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6,
                                err_msg=gt.name)
+
+
+def test_kquant_container_roundtrip(tmp_path):
+    """Reader integration for the K-quant traits: ggml-quantized Q4_K bytes
+    written through GGUFWriter.add_tensor_raw come back dequantized from
+    GGUFReader.get() exactly as ggml's own dequantize_row_q4_K says."""
+    from zerovox_tpu.io.gguf import GGUFReader, GGUFWriter, GGMLType
+    rng = _rng()
+    shape, n = (4, 512), 2048
+    x = (rng.normal(size=shape) * 1.7).astype(np.float32)
+    raw = np.zeros(n // 256 * 144, np.uint8)
+    wrote = LIB.zv_ggml_quantize(
+        int(GGMLType.Q4_K), _fp(x),
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 4, 512)
+    assert wrote == raw.size
+    ref = np.empty(n, np.float32)
+    assert LIB.zv_ggml_dequantize(
+        int(GGMLType.Q4_K), raw.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), _fp(ref), n) == 0
+    w = GGUFWriter()
+    w.add_tensor_raw("t", raw.tobytes(), shape, GGMLType.Q4_K)
+    path = str(tmp_path / "kq.gguf")
+    w.write(path)
+    with GGUFReader(path) as r:
+        got = r.get("t")
+    np.testing.assert_allclose(got.reshape(-1), ref, atol=1e-6, rtol=1e-6)

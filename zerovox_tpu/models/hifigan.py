@@ -108,12 +108,16 @@ def _grouped_g(scale: int, c_out: int, rho_next: int, rho_prev: int,
     return 0
 
 
-# t_blk note: an isolated per-stage sweep (256/512/768/1024 tile rows)
-# showed apparent large wins (e.g. C=64 stage 1.29 -> 0.71 ms at 768), but
-# NONE transfer in-pipeline — full-pipeline time got worse with every tuned
-# table tried (4.59 -> 5.09 all-stages, 4.59 -> 4.85 C=64-only).  Isolated
-# kernel runs overlap DMA differently than the composed graph; the kernel
-# default (512) stands.  Measure in-pipeline before touching this.
+# t_blk note: in r2 isolated per-stage sweeps showed wins that did NOT
+# transfer in-pipeline (4.59 -> 5.09 with a tuned table), so the default
+# stayed 512.  After the r3 in-kernel boundary handling restructured the
+# DMA (edge-branch plan, no pads), larger tiles DO transfer: t_blk 2048
+# (lane-width-scaled, vmem limit lifted) measured 4.24 -> 3.80 ms
+# in-pipeline; 4096 is flat (3.79) and 512-vs-1024-vs-2048 = 4.24 / 3.94
+# / 3.80, i.e. per-tile fixed overhead (~2.4 us/tile) was the dominant
+# kernel cost, not MXU rate (f32 dots measured only 14% slower than bf16
+# at equal t_blk).  The default (2048) lives in folded_mrf_stage; still:
+# measure in-pipeline before touching it.
 
 
 def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:

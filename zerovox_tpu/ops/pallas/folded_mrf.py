@@ -68,7 +68,10 @@ def _best_phase(k: int, rho: int, dilation: int) -> int:
 
 
 def _leaky(x, slope=0.1):
-    return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+    # max(x, s*x) == where(x>=0, x, s*x) bit-for-bit on finite values for
+    # 0 < s < 1 (s*x > x iff x < 0), and is one VPU op cheaper — the stage
+    # kernels run ~20 full-window leakys per tile and are partly VPU-bound
+    return jnp.maximum(x, x * jnp.asarray(slope, x.dtype))
 
 
 def _stage_halo(dilation_sets: Sequence[Sequence[int]], k: int, rho: int) -> int:
@@ -275,8 +278,11 @@ def _mrf_kernel(*refs,
             return jnp.where(in_range, xt, jnp.zeros((), xt.dtype))
         chan = xt.shape[1] // fold_rho
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, xt.shape[1]), 1) // chan
-        tstep = g * fold_rho + slot - phase
-        in_range = jnp.logical_and(tstep >= 0, tstep < nblk * fold_rho)
+        # tstep = g*rho + slot - phase; keep the arithmetic on the (rows, 1)
+        # axis and broadcast only the two compares — the VPU pays full
+        # (rows, lanes) cost per op and the kernels are partly VPU-bound
+        a = g * fold_rho - phase                       # (rows, 1)
+        in_range = jnp.logical_and(slot >= -a, slot < nblk * fold_rho - a)
         return jnp.where(in_range, xt, jnp.zeros((), xt.dtype))
 
     def conv(xt, off, spec):
@@ -379,7 +385,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      dilation_sets: Sequence[Sequence[int]],
                      kernel_size: int,
                      rho: int,
-                     t_blk: int = 512,
+                     t_blk: int = 2048,
                      interpret: bool | None = None,
                      dot_bf16: bool | None = None,
                      contract: bool | None = None,
@@ -426,6 +432,11 @@ def folded_mrf_stage(xf: jnp.ndarray,
     B, nrows_in, lanes_in = xf.shape
     nblk, lanes = nrows_in * in_group, lanes_in // in_group
     n_rb = len(blocks)
+
+    # keep the VMEM footprint (f32 chain registers + double-buffered window)
+    # constant across lane widths: the C=256 stage's 2-lane-tile chain OOMs
+    # scoped vmem at the 128-lane stages' tile length
+    t_blk = t_blk * 128 // max(lanes, 128)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -538,6 +549,11 @@ def folded_mrf_stage(xf: jnp.ndarray,
         # former out[:, :nblk] crop (another full HBM copy at B=8) is gone
         out_shape=jax.ShapeDtypeStruct((B, nblk, lanes), xf.dtype),
         scratch_shapes=scratch,
+        # the f32 chain registers + double-buffered window exceed Mosaic's
+        # default 16 MB scoped-vmem budget at t_blk >= 2048; v5e VMEM is
+        # larger — lift the soft limit so tile length trades VMEM for
+        # per-tile fixed overhead (measured dominant, ARCHITECTURE §11)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )
 
