@@ -181,7 +181,9 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
                 # {2, 5} but LOSES for 3 (sublane unit 16*3 rounds the halo
                 # 16 -> 48 rows and the odd-factor VMEM reshape is not
                 # free): stage 4 kernel 1.76 -> 1.37 ms with the regroup
-                # done as one XLA row-major reshape instead
+                # done as one XLA row-major reshape instead (r2, t_blk 512;
+                # retried r3 at t_blk 2016: B=1 flat, B=8 29.29 vs 28.88 ms
+                # — the reshape stays)
                 y = y.reshape(y.shape[0], -1, y.shape[-1] // ing)
                 ing = 1
             c = folded_mrf_stage(y, stage_blocks, cfg.resblock_dilations,
