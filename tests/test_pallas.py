@@ -229,3 +229,24 @@ def test_phase_shift_reduces_passes():
         for rho in (2, 4, 8, 16):
             for dils in ((1, 3, 5), (1, 3), (1, 2)):
                 assert passes(k, rho, dils, True) <= passes(k, rho, dils, False)
+
+
+def test_in_bias_matches_external_add(rng):
+    """in_bias (the fused upsample bias, r3) must equal adding the tiled
+    bias to the activation before the stage — including across tile
+    boundaries, where stale halo rows pick the bias up and mask_oob must
+    re-zero them."""
+    params = init_params(CFG, seed=0)
+    C, rho = 16, 8
+    x = jnp.asarray(rng.normal(size=(2, 320, C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    xf = fold(x, rho)
+    blocks, _ = _stage(params, 0, xf, rho)
+
+    ref = folded_mrf_stage(xf + jnp.tile(bias, rho), blocks,
+                           CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16)
+    got = folded_mrf_stage(xf, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=16,
+                           in_bias=bias)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -143,7 +143,8 @@ def _fetch_plan(n_tiles: int, tb_f: int, halo_f: int, R_f: int, sub: int):
 def _mrf_kernel(*refs,
                 schedules, halo, t_blk, inv_n, nblk, rho=1, fold_rho=1,
                 dot_bf16=False,
-                in_group=1, out_leaky=None, fetch_plan=None, has_tail=False):
+                in_group=1, in_b=None, out_leaky=None, fetch_plan=None,
+                has_tail=False):
     """Grid step (b, t): window x[b, t*t_blk : t*t_blk + t_blk + 2*halo]
     -> o tile (b, t).
 
@@ -342,6 +343,13 @@ def _mrf_kernel(*refs,
         x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
     cdtype = jnp.float32
     x = x.astype(cdtype)
+    if in_b is not None:
+        # fused input bias (the preceding upsample's): adding it here on the
+        # loaded window removes the unfused whole-activation bias pass that
+        # followed conv_transpose1d_grouped in XLA (~0.6 ms of the B=8 run).
+        # Stale/out-of-range halo rows pick the bias up too, but mask_oob
+        # already re-zeroes those at every conv input by global row index.
+        x = x + b_ref[in_b].astype(cdtype)
     acc = None
     acc_off = None
     for rb_schedule in schedules:
@@ -390,6 +398,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      dot_bf16: bool | None = None,
                      contract: bool | None = None,
                      in_group: int = 1,
+                     in_bias: jnp.ndarray | None = None,
                      out_leaky: float | None = None) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
 
@@ -398,6 +407,15 @@ def folded_mrf_stage(xf: jnp.ndarray,
     and regroups to (window, lanes) chain rows inside the kernel (free
     in-VMEM reshape), so no XLA relayout ever materialises between an
     upsample and its MRF stage.  Output stays ungrouped (B, nblk, lanes).
+
+    in_bias (a (C,) vector) is added to the loaded input window before the
+    chain runs — the preceding upsample's bias, whose unfused XLA add was a
+    full extra HBM pass over the largest activations (~0.6 ms at B=8).  The
+    channel pattern tiles to any lane grouping (period C divides every row
+    width), so it composes with in_group and the ing=3 XLA regroup alike;
+    out-of-range rows are re-zeroed by mask_oob exactly as before.  The add
+    happens on the f32 chain (the XLA path added in the activation dtype):
+    f32 parity path bit-identical, bf16 serving path sub-ulp.
 
     xf: (B, nblk, 128); blocks: list of resblock param dicts
     ({"convs1": [{"w","b"}..], "convs2": [...]}); dilation_sets[j] are the
@@ -481,6 +499,10 @@ def folded_mrf_stage(xf: jnp.ndarray,
         schedules.append(tuple(rb_sched))
         halo = max(halo, rb_halo)
 
+    in_b_idx = None
+    if in_bias is not None:
+        in_b_idx = len(b_vecs)
+        b_vecs.append(jnp.tile(in_bias, rho))
     if contract:
         w_all = jnp.concatenate(w_mats, axis=0)   # (sum_total, 128)
     else:
@@ -514,7 +536,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
     kern = functools.partial(
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
         inv_n=1.0 / n_rb, nblk=nblk, fold_rho=rho, dot_bf16=dot_bf16,
-        in_group=in_group,
+        in_group=in_group, in_b=in_b_idx,
         out_leaky=out_leaky, fetch_plan=plan, has_tail=has_tail)
 
     scratch = [
