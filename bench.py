@@ -27,7 +27,7 @@ import numpy as np
 
 
 def measure_ttfa(cfg, params, src, pun, style, chunk_frames=60, overlap=16,
-                 reps=5):
+                 reps=15):
     """p50 time-to-first-audio-chunk of the streaming path (post-warmup)."""
     from zerovox_tpu.models.streaming import StreamingSynthesizer
     s = StreamingSynthesizer(params, cfg, chunk_frames=chunk_frames,
