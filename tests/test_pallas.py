@@ -250,3 +250,40 @@ def test_in_bias_matches_external_add(rng):
                            CFG.resblock_kernel_size, rho, t_blk=16,
                            in_bias=bias)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("s,Cin,ing,in_leaky", [(8, 24, 1, None),
+                                                (16, 24, 2, None),
+                                                (8, 24, 1, 0.1)])
+def test_in_kernel_upsample_matches_xla_grouped(rng, s, Cin, ing, in_leaky):
+    """The fused in-kernel upsample (r3, a == 1 stages) must reproduce the
+    two-step XLA path: conv_transpose1d_grouped -> folded_mrf_stage,
+    including the pre-upsample leaky when the producer did not fuse it."""
+    from zerovox_tpu.ops import leaky_relu
+    from zerovox_tpu.ops.conv import conv_transpose1d_grouped
+
+    params = init_params(CFG, seed=0)
+    C, rho = 16, 8                      # stage-0 blocks: chain lanes 128
+    assert ing * rho == s
+    R = 72                              # pre rows; L_out = R*s timesteps
+    x = jnp.asarray(rng.normal(size=(2, R, Cin)), jnp.float32)
+    w_up = jnp.asarray(rng.normal(size=(2 * s, Cin, C)) * 0.2, jnp.float32)
+    b_up = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    blocks, _ = _stage(params, 0, fold(jnp.zeros((1, R * s, C)), rho), rho)
+
+    xin = x if in_leaky is None else leaky_relu(x, in_leaky)
+    y = conv_transpose1d_grouped(xin, w_up, b_up, stride=s, padding=s // 2,
+                                 output_padding=0, rho_in=1, g=1)
+    if ing > 1:
+        pass                            # (B, R, s*C) rows already ing groups
+    ref = folded_mrf_stage(y, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=32,
+                           in_group=ing)
+
+    got = folded_mrf_stage(
+        x, blocks, CFG.resblock_dilations, CFG.resblock_kernel_size, rho,
+        t_blk=32, in_group=ing, in_bias=b_up,
+        upsample=dict(w=w_up, stride=s, padding=s // 2, output_padding=0,
+                      rho_in=1, in_leaky=in_leaky))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

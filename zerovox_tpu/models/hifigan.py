@@ -169,6 +169,26 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             # ~1.5 ms of pure data movement per run at production geometry)
             g = _grouped_g(scale, C_stage, max(rho, 1), cur_rho,
                            c.shape[1] * cur_rho, up["w"].shape[0])
+        if g == cur_rho and g:
+            # a == 1: the upsample itself runs INSIDE the MRF kernel (its
+            # transpose-conv becomes n_up sliced dots on the fetched
+            # PRE-upsample window, the B=1 XLA path's math) — the upsampled
+            # activation never exists in HBM, removing the XLA upsample
+            # conv, its bias pass, and the custom-call boundary layout
+            # copies for stages 1-3 (ARCHITECTURE §3g)
+            c = folded_mrf_stage(
+                c, stage_blocks, cfg.resblock_dilations,
+                cfg.resblock_kernel_size, rho,
+                in_group=g * scale // max(rho, 1),
+                upsample=dict(w=up["w"], stride=scale,
+                              padding=scale // 2 + scale % 2,
+                              output_padding=scale % 2, rho_in=cur_rho,
+                              in_leaky=None if act_done else 0.1),
+                in_bias=up["b"],
+                out_leaky=0.01 if last else 0.1)
+            act_done = True
+            cur_rho = rho
+            continue
         if g:
             # the upsample bias is NOT added here: it rides into the MRF
             # kernel's input load (in_bias below), saving an unfused

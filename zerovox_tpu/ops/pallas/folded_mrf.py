@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..conv import _folded_weight_terms, build_wcontract, contracted_layout
+from ..conv import (_folded_weight_terms, build_wcontract, contracted_layout,
+                    build_wtranspose_grouped, transpose_out_len)
 
 
 def _conv_schedule(k: int, rho: int, dilation: int,
@@ -92,7 +93,8 @@ def _conv_reach(deltas):
     return -deltas[0], deltas[-1]
 
 
-def _fetch_plan(n_tiles: int, tb_f: int, halo_f: int, R_f: int, sub: int):
+def _fetch_plan(n_tiles: int, tb_f: int, halo_f: int, R_f: int, sub: int,
+                halo_hi_f: int | None = None):
     """Static per-tile DMA branches over the UNPADDED input (fetch-row units).
 
     Tile t's window covers source rows [t*tb_f - halo_f, +win_f); edge tiles
@@ -113,7 +115,12 @@ def _fetch_plan(n_tiles: int, tb_f: int, halo_f: int, R_f: int, sub: int):
               dst 0, never clipped, never patched.
     patch_dst is None when no patch is needed; size may be 0 (skip the DMA).
     """
-    win_f = tb_f + 2 * halo_f
+    # halo_hi_f (default: symmetric) supports windows whose right reach
+    # differs from the left — the in-kernel upsample extends the fetch
+    # window by the transpose-conv's delta span on top of the chain halo
+    if halo_hi_f is None:
+        halo_hi_f = halo_f
+    win_f = tb_f + halo_f + halo_hi_f
     R_al = R_f - R_f % sub
     r = R_f % sub
 
@@ -128,8 +135,8 @@ def _fetch_plan(n_tiles: int, tb_f: int, halo_f: int, R_f: int, sub: int):
     if n_tiles == 1:
         return (eq(0, 0, halo_f),)
     plan = [eq(0, 0, halo_f)]
-    # largest t whose full window end (t+1)*tb_f + halo_f stays <= R_al
-    t_full = (R_al - halo_f) // tb_f - 1
+    # largest t whose full window end (t+1)*tb_f + halo_hi_f stays <= R_al
+    t_full = (R_al - halo_hi_f) // tb_f - 1
     hi = min(n_tiles - 2, t_full)
     if hi >= 1:
         plan.append(("range", 1, hi, win_f))
@@ -144,7 +151,7 @@ def _mrf_kernel(*refs,
                 schedules, halo, t_blk, inv_n, nblk, rho=1, fold_rho=1,
                 dot_bf16=False,
                 in_group=1, in_b=None, out_leaky=None, fetch_plan=None,
-                has_tail=False):
+                has_tail=False, up_sched=None):
     """Grid step (b, t): window x[b, t*t_blk : t*t_blk + t_blk + 2*halo]
     -> o tile (b, t).
 
@@ -169,17 +176,12 @@ def _mrf_kernel(*refs,
     rolls per tile), not MXU-bound; slices remove that traffic and lift the
     32-bit-data restriction rolls imposed.
     """
-    if fetch_plan is None:
-        x_hbm, w_ref, b_ref, o_ref, x_vmem, sem = refs[:6]
-        opnd_ref = refs[6] if len(refs) > 6 else None
-        tail_ref = None
-    elif has_tail:
-        x_hbm, tail_ref, w_ref, b_ref, o_ref, x_vmem, sem = refs[:7]
-        opnd_ref = refs[7] if len(refs) > 7 else None
-    else:
-        x_hbm, w_ref, b_ref, o_ref, x_vmem, sem = refs[:6]
-        opnd_ref = refs[6] if len(refs) > 6 else None
-        tail_ref = None
+    refs = list(refs)
+    x_hbm = refs.pop(0)
+    tail_ref = refs.pop(0) if (fetch_plan is not None and has_tail) else None
+    w_up_ref = refs.pop(0) if up_sched is not None else None
+    w_ref, b_ref, o_ref, x_vmem, sem = refs[:5]
+    opnd_ref = refs[5] if len(refs) > 5 else None
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -202,6 +204,10 @@ def _mrf_kernel(*refs,
     else:
         tb_f = t_blk // in_group * rho
         halo_f = halo // in_group * rho
+        if up_sched is not None:
+            # the window is in PRE-upsample rows and reaches rl_pad further
+            # left to cover the transpose-conv's delta span
+            halo_f = halo // in_group + up_sched[3]
         # dynamic offsets are emitted as (k)*sub with the multiply OUTERMOST:
         # Mosaic's divisibility analysis proves ti*96-8 ≡ 0 (mod 8) only in
         # the factored form (ti*12-1)*8
@@ -336,13 +342,48 @@ def _mrf_kernel(*refs,
     # chain state stays f32: Mosaic rejects bf16 vector compares (leaky) and
     # the VPU work is elementwise either way; dot_bf16 narrows only the MXU
     # operands inside conv()
-    x = x_vmem[slot]
-    if in_group > 1:
-        x = x.reshape(window, x.shape[-1] // in_group)  # in-VMEM regroup
-    if rho > 1:
-        x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
     cdtype = jnp.float32
-    x = x.astype(cdtype)
+    if up_sched is not None:
+        # in-kernel upsample (a == 1 stages): the window holds PRE-upsample
+        # rows (1 pre row -> in_group chain rows); run the transpose-conv as
+        # n_d contiguous sliced dots (the B=1 XLA path's math,
+        # conv.py conv_transpose1d_grouped) and regroup in VMEM — the
+        # upsampled activation never exists in HBM, so the XLA upsample
+        # conv, its boundary layout copies, and the kernel's own larger
+        # input DMA all disappear for these stages.
+        n_up, j0, R_pre, _rl_pad, in_leaky = up_sched
+        win_up = window // in_group
+        xw = x_vmem[slot].astype(cdtype)
+        # zero beyond-edge pre rows: the transpose conv zero-pads its input
+        row = jax.lax.broadcasted_iota(jnp.int32, (xw.shape[0], 1), 0)
+        gpre = t * tb_f - halo_f + row
+        xw = jnp.where(jnp.logical_and(gpre >= 0, gpre < R_pre), xw,
+                       jnp.zeros((), cdtype))
+        if in_leaky is not None:
+            # the pre-upsample leaky (0.1) when the producing stage did not
+            # already fuse it (stage 1: the plain input conv)
+            xw = _leaky(xw, in_leaky)
+        if dot_bf16:
+            xw = xw.astype(jnp.bfloat16)
+        acc_up = None
+        for di in range(n_up):
+            sl = xw[j0 + di: j0 + di + win_up]
+            w = w_up_ref[di]
+            if not dot_bf16:
+                w = w.astype(cdtype)
+            y = jax.lax.dot_general(
+                sl, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_up = y if acc_up is None else acc_up + y
+        # regroup (win_up, in_group*lanes) -> (window, lanes) chain rows
+        x = acc_up.reshape(window, acc_up.shape[-1] // in_group)
+    else:
+        x = x_vmem[slot]
+        if in_group > 1:
+            x = x.reshape(window, x.shape[-1] // in_group)  # in-VMEM regroup
+        if rho > 1:
+            x = x.reshape(window, rho * x.shape[-1])   # in-VMEM fold
+        x = x.astype(cdtype)
     if in_b is not None:
         # fused input bias (the preceding upsample's): adding it here on the
         # loaded window removes the unfused whole-activation bias pass that
@@ -399,6 +440,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
                      contract: bool | None = None,
                      in_group: int = 1,
                      in_bias: jnp.ndarray | None = None,
+                     upsample: dict | None = None,
                      out_leaky: float | None = None) -> jnp.ndarray:
     """Fused MRF stage on a folded activation.
 
@@ -448,7 +490,25 @@ def folded_mrf_stage(xf: jnp.ndarray,
     inflation is cheaper than operand repacking on this hardware.
     """
     B, nrows_in, lanes_in = xf.shape
-    nblk, lanes = nrows_in * in_group, lanes_in // in_group
+    nblk = nrows_in * in_group
+    if upsample is not None:
+        # xf is the PRE-upsample activation: (B, R_pre, rho_in*Cin) with
+        # a = g/rho_in == 1 (1 pre row -> in_group chain rows); the
+        # upsampled activation never exists outside the kernel
+        K_up, Cin_up, Cout_up = upsample["w"].shape
+        g_up = upsample["rho_in"]
+        s_up = upsample["stride"]
+        assert lanes_in == g_up * Cin_up, (lanes_in, g_up, Cin_up)
+        assert in_group * max(rho, 1) == g_up * s_up, \
+            "in_group must be g*stride/rho with g == rho_in (a == 1)"
+        L_up = transpose_out_len(nrows_in * g_up, s_up, K_up,
+                                 upsample["padding"],
+                                 upsample["output_padding"])
+        assert L_up == nrows_in * g_up * s_up, \
+            "in-kernel upsample requires the standard same-multiple geometry"
+        lanes = g_up * s_up * Cout_up // in_group      # == rho * Cout
+    else:
+        lanes = lanes_in // in_group
     n_rb = len(blocks)
 
     # keep the VMEM footprint (f32 chain registers + double-buffered window)
@@ -516,6 +576,25 @@ def folded_mrf_stage(xf: jnp.ndarray,
     halo = -(-halo // unit) * unit
     t_blk = max(unit, (t_blk // unit) * unit)
     t_blk = max(t_blk, halo)   # edge-branch DMA needs tile starts >= 0
+
+    # ---- in-kernel upsample statics (a == 1 grouped stages) -----------
+    up_sched = w_up = None
+    rl_pad = rr_pad = 0
+    if upsample is not None:
+        d_lo, w_up = build_wtranspose_grouped(
+            upsample["w"], upsample["stride"], upsample["padding"],
+            g_up, g_up)
+        n_up = w_up.shape[0]
+        # x_up window row j reads pre rows j + d_lo .. j + d_lo + n_up - 1;
+        # pad the fetch window (sublane-aligned) to cover that reach
+        rl = max(0, -d_lo)
+        rr = max(0, d_lo + n_up - 1)
+        rl_pad = -(-rl // sublane) * sublane
+        rr_pad = -(-rr // sublane) * sublane
+        t_blk = max(t_blk, halo + rl_pad * in_group)
+        t_blk = -(-t_blk // unit) * unit
+        up_sched = (n_up, rl_pad + d_lo, nrows_in, rl_pad,
+                    upsample.get("in_leaky"))
     n_tiles = -(-nblk // t_blk)
 
     # the input is consumed UNPADDED: per-tile DMA branches clip the halo
@@ -523,7 +602,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
     # the stale VMEM rows, so the former jnp.pad (a full HBM copy of the
     # activation, ~1.3 ms of the B=8 run) never happens
     g = in_group
-    plan = _fetch_plan(n_tiles, t_blk // g, halo // g, nrows_in, sublane)
+    plan = _fetch_plan(n_tiles, t_blk // g, halo // g + rl_pad, nrows_in,
+                       sublane, halo_hi_f=halo // g + rr_pad)
     has_tail = any(br[0] == "eq" and br[5] is not None for br in plan)
     if has_tail:
         # sub-sublane remainder rows, passed as a whole-block VMEM input and
@@ -537,10 +617,12 @@ def folded_mrf_stage(xf: jnp.ndarray,
         _mrf_kernel, schedules=tuple(schedules), halo=halo, t_blk=t_blk,
         inv_n=1.0 / n_rb, nblk=nblk, fold_rho=rho, dot_bf16=dot_bf16,
         in_group=in_group, in_b=in_b_idx,
-        out_leaky=out_leaky, fetch_plan=plan, has_tail=has_tail)
+        out_leaky=out_leaky, fetch_plan=plan, has_tail=has_tail,
+        up_sched=up_sched)
 
     scratch = [
-        pltpu.VMEM((2, (t_blk + 2 * halo) // g, g * lanes), xf.dtype),
+        pltpu.VMEM((2, (t_blk + 2 * halo) // g + rl_pad + rr_pad, lanes_in),
+                   xf.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if contract:
@@ -556,6 +638,8 @@ def folded_mrf_stage(xf: jnp.ndarray,
         in_specs.append(pl.BlockSpec((1, sublane, lanes_in),
                                      lambda b, t: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
+    if w_up is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # upsample W
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),         # weights, whole
         pl.BlockSpec(memory_space=pltpu.VMEM),         # biases, whole
@@ -579,9 +663,12 @@ def folded_mrf_stage(xf: jnp.ndarray,
         interpret=interpret,
     )
 
+    args = [xf]
     if has_tail:
-        return call(xf, tail, w_all, b_all)
-    return call(xf, w_all, b_all)
+        args.append(tail)
+    if w_up is not None:
+        args.append(w_up)
+    return call(*args, w_all, b_all)
 
 
 def mrf_stage_unfolded(x: jnp.ndarray,
