@@ -1,0 +1,116 @@
+"""HTTP serving daemon tests (TINY config, CPU).
+
+The server wraps TTSEngine + StreamingSynthesizer behind stdlib
+http.server; these tests exercise the full socket path: health, complete
+WAV synthesis, chunked streaming (http.client decodes the chunked
+framing), schema errors, and stream-vs-oneshot sample equality.
+"""
+
+import http.client
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from zerovox_tpu.config import TINY_CONFIG
+from zerovox_tpu.params import init_params
+from zerovox_tpu.runtime.server import TTSServer, utterance_from_dict
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_params(TINY_CONFIG, seed=0)
+    s = TTSServer(params, TINY_CONFIG, port=0, warmup=True,
+                  chunk_frames=16, overlap=8)
+    s.start()
+    yield s
+    s.shutdown()
+
+
+def _conn(server):
+    host, port = server.address
+    return http.client.HTTPConnection(host, port, timeout=120)
+
+
+def _utt(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "phonemes": rng.integers(1, cfg.num_phonemes + 1,
+                                 size=cfg.max_n_phonemes).tolist(),
+        "puncts": rng.integers(0, cfg.num_puncts + 1,
+                               size=cfg.max_n_phonemes).tolist(),
+        "style": (rng.normal(scale=0.05, size=cfg.d_model)
+                  .astype(np.float32).tolist()),
+    }
+
+
+def _parse_wav(body: bytes):
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    sr = struct.unpack("<I", body[24:28])[0]
+    pcm = np.frombuffer(body[44:], dtype=np.int16)
+    return sr, pcm
+
+
+def test_healthz(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    d = json.loads(r.read())
+    assert d["status"] == "ok"
+    assert d["sampling_rate"] == TINY_CONFIG.sampling_rate
+
+
+def test_synthesize_returns_wav(server):
+    c = _conn(server)
+    body = json.dumps(_utt(TINY_CONFIG)).encode()
+    # trim=0: the padded buffer has a deterministic length regardless of
+    # the random-init model's predicted durations
+    c.request("POST", "/synthesize?trim=0", body,
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    sr, pcm = _parse_wav(r.read())
+    assert sr == TINY_CONFIG.sampling_rate
+    assert len(pcm) == TINY_CONFIG.max_seq_len * TINY_CONFIG.hop_size
+    assert np.any(pcm != 0)
+
+
+def test_stream_matches_oneshot(server):
+    body = json.dumps(_utt(TINY_CONFIG)).encode()
+    c = _conn(server)
+    c.request("POST", "/stream", body, {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Transfer-Encoding") == "chunked"
+    sr, pcm_stream = _parse_wav(r.read())   # http.client de-chunks
+    assert sr == TINY_CONFIG.sampling_rate
+
+    c = _conn(server)
+    c.request("POST", "/synthesize?trim=0", body,
+              {"Content-Type": "application/json"})
+    _, pcm_full = _parse_wav(c.getresponse().read())
+    # the streaming path is bit-exact vs the full run (test_streaming.py);
+    # through the engine's bucket dispatch the samples must still agree to
+    # PCM16 resolution over the emitted prefix
+    n = len(pcm_stream)
+    assert n > 0
+    np.testing.assert_allclose(pcm_stream, pcm_full[:n], atol=1)
+
+
+def test_bad_requests(server):
+    c = _conn(server)
+    c.request("POST", "/synthesize", b"{}",
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 400
+    assert "phonemes" in json.loads(r.read())["error"]
+
+    c = _conn(server)
+    c.request("POST", "/nope", b"{}", {"Content-Type": "application/json"})
+    assert c.getresponse().status == 404
+
+    with pytest.raises(ValueError, match="style"):
+        utterance_from_dict({"phonemes": [1], "style": [0.0]}, TINY_CONFIG)

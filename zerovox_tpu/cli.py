@@ -25,28 +25,16 @@ import numpy as np
 
 
 def _load_utterance(path: str, cfg):
+    from zerovox_tpu.runtime.server import utterance_from_dict
     try:
         with open(path) as f:
             d = json.load(f)
     except (OSError, json.JSONDecodeError) as e:
         raise SystemExit(f"cannot read utterance file {path}: {e}")
-    for key in ("phonemes", "style"):
-        if key not in d:
-            raise SystemExit(f"{path}: missing required key {key!r} "
-                             "(need phonemes, style; optional puncts)")
-    P = cfg.max_n_phonemes
-    ph = np.asarray(d["phonemes"], dtype=np.int32)
-    pu = np.asarray(d.get("puncts", np.zeros_like(ph)), dtype=np.int32)
-    n = min(len(ph), P)
-    src = np.zeros((1, P), np.int32)
-    pun = np.zeros((1, P), np.int32)
-    src[0, :n] = ph[:n]
-    pun[0, :n] = pu[:n]
-    style = np.asarray(d["style"], dtype=np.float32).reshape(1, -1)
-    if style.shape[1] != cfg.d_model:
-        raise SystemExit(f"style embedding has {style.shape[1]} dims, "
-                         f"model wants {cfg.d_model}")
-    return src, pun, style, np.asarray([n], np.int32)
+    try:
+        return utterance_from_dict(d, cfg)
+    except ValueError as e:
+        raise SystemExit(f"{path}: {e}")
 
 
 def _demo_utterance(cfg, seed: int = 0):
@@ -76,6 +64,11 @@ def main(argv=None):
                     help="comma-separated mel-length buckets")
     ap.add_argument("--no-trim", action="store_true",
                     help="keep the full padded waveform (reference behavior)")
+    ap.add_argument("--serve", action="store_true",
+                    help="run the HTTP serving daemon instead of one-shot "
+                         "synthesis (endpoints: /healthz /synthesize /stream)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
     args = ap.parse_args(argv)
 
     from zerovox_tpu.params import load_params
@@ -91,6 +84,22 @@ def main(argv=None):
     print(f"loaded {args.model} ({time.perf_counter()-t0:.2f}s): "
           f"d_model={cfg.d_model} max_seq_len={cfg.max_seq_len} "
           f"sr={cfg.sampling_rate}", file=sys.stderr)
+
+    if args.serve:
+        from zerovox_tpu.runtime.server import TTSServer
+        buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+        server = TTSServer(params, cfg, host=args.host, port=args.port,
+                           precision=args.precision, mel_buckets=buckets,
+                           chunk_frames=args.chunk_frames,
+                           overlap=args.overlap)
+        host, port = server.address
+        print(f"serving on http://{host}:{port} "
+              "(/healthz /synthesize /stream)", file=sys.stderr)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
 
     if args.input:
         utt = _load_utterance(args.input, cfg)

@@ -227,7 +227,13 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             stride=scale,
             padding=scale // 2 + scale % 2,
             output_padding=scale % 2)
-        if backend == "pallas" and C_stage <= 256:
+        # Mosaic requires lane-dense (>=128-lane) chains: a sub-128 rho*C
+        # (e.g. C=8 with the rho cap at 8 -> 64 lanes) passes interpret
+        # mode but fails real TPU lowering ("slice shape along dimension 2
+        # must be aligned to tiling (128)"), so such stages take the XLA
+        # folded path — only reachable on toy geometries; every production
+        # stage has rho*C in {128, 256}
+        if backend == "pallas" and C_stage <= 256 and rho * C_stage >= 128:
             if rho > 1:
                 c = folded_mrf_stage(
                     fold(c, rho), stage_blocks, cfg.resblock_dilations,

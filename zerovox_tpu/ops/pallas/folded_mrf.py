@@ -450,6 +450,19 @@ def folded_mrf_stage(xf: jnp.ndarray,
     in-VMEM reshape), so no XLA relayout ever materialises between an
     upsample and its MRF stage.  Output stays ungrouped (B, nblk, lanes).
 
+    upsample (a dict: w (K, Cin, Cout) flipped transpose kernel, stride,
+    padding, output_padding, rho_in, in_leaky) runs the preceding
+    ConvTranspose1d INSIDE the kernel for a == 1 geometries (g == rho_in,
+    i.e. in_group * rho == rho_in * stride): xf is then the PRE-upsample
+    activation (B, R_pre, rho_in*Cin), the fetch window extends by the
+    transpose-conv's delta span (asymmetric halo), and the upsample is
+    n_up contiguous sliced dots (conv_transpose1d_grouped's B=1 math)
+    followed by the in-VMEM regroup — the upsampled activation never
+    exists in HBM.  in_leaky applies the pre-upsample leaky-relu in-kernel
+    when the producing stage didn't fuse it.  Pass the upsample bias via
+    in_bias (it lands after the regroup, where the lane pattern is the
+    same tile(b, rho) as every conv bias).
+
     in_bias (a (C,) vector) is added to the loaded input window before the
     chain runs — the preceding upsample's bias, whose unfused XLA add was a
     full extra HBM pass over the largest activations (~0.6 ms at B=8).  The
@@ -581,6 +594,7 @@ def folded_mrf_stage(xf: jnp.ndarray,
     up_sched = w_up = None
     rl_pad = rr_pad = 0
     if upsample is not None:
+        assert not contract, "in-kernel upsample + contract mode unsupported"
         d_lo, w_up = build_wtranspose_grouped(
             upsample["w"], upsample["stride"], upsample["padding"],
             g_up, g_up)

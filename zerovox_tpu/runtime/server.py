@@ -1,0 +1,196 @@
+"""HTTP serving daemon: a warm engine answering synthesis requests.
+
+The reference is a single-shot binary whose `main` hardcodes one utterance
+and one output file (/root/reference/src/zerovox.cpp:396-406); keeping a
+compiled model resident and serving many requests has no reference
+counterpart.  This daemon is deliberately stdlib-only (http.server): a
+ThreadingHTTPServer sharing one `TTSEngine` (its compile cache is
+lock-guarded; see tests/test_runtime.py concurrent-request test) and one
+`StreamingSynthesizer` (streamed requests are serialized behind a lock —
+the streaming programs share carry buffers).
+
+Endpoints (all JSON bodies use the CLI's utterance schema —
+{"phonemes": [...], "style": [...], "puncts": optional}):
+
+  GET  /healthz      -> {"status": "ok", "sampling_rate": ..., ...}
+  POST /synthesize   -> complete WAV (query: ?trim=0 keeps the padded
+                        buffer, the reference's behavior)
+  POST /stream       -> chunked WAV: the 44-byte header (streaming-size
+                        convention) followed by PCM16 the moment each
+                        vocoder chunk lands — time-to-first-byte is the
+                        engine's TTFA, not the utterance length
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence, Tuple
+from urllib.parse import urlparse, parse_qs
+
+import numpy as np
+
+from ..config import ZeroVoxConfig
+from ..io.wav import float_to_pcm16, _wav_header
+
+
+def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """Parse the utterance JSON schema into padded (src, pun, style, n).
+
+    Raises ValueError on schema violations (the CLI wraps this into
+    SystemExit, the server into HTTP 400).
+    """
+    for key in ("phonemes", "style"):
+        if key not in d:
+            raise ValueError(f"missing required key {key!r} "
+                             "(need phonemes, style; optional puncts)")
+    P = cfg.max_n_phonemes
+    try:
+        ph = np.asarray(d["phonemes"], dtype=np.int32)
+        pu = np.asarray(d.get("puncts", np.zeros_like(ph)), dtype=np.int32)
+        style = np.asarray(d["style"], dtype=np.float32).reshape(1, -1)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"malformed utterance arrays: {e}")
+    if ph.ndim != 1 or pu.shape != ph.shape:
+        raise ValueError("phonemes/puncts must be equal-length 1-D lists")
+    if style.shape[1] != cfg.d_model:
+        raise ValueError(f"style embedding has {style.shape[1]} dims, "
+                         f"model wants {cfg.d_model}")
+    n = min(len(ph), P)
+    src = np.zeros((1, P), np.int32)
+    pun = np.zeros((1, P), np.int32)
+    src[0, :n] = ph[:n]
+    pun[0, :n] = pu[:n]
+    return src, pun, style, np.asarray([n], np.int32)
+
+
+class TTSServer:
+    """Thread-per-connection HTTP server over a warm TTSEngine."""
+
+    def __init__(self, params, cfg: ZeroVoxConfig,
+                 host: str = "127.0.0.1", port: int = 8765,
+                 precision: str = "float32",
+                 mel_buckets: Sequence[int] = (256, 512, 1024),
+                 chunk_frames: int = 64, overlap: int = 16,
+                 warmup: bool = True):
+        from .engine import TTSEngine
+        from ..models.streaming import StreamingSynthesizer
+
+        self.cfg_in = cfg
+        self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
+                                precision=precision)
+        # the engine may have cast params/cfg for bf16 serving; the
+        # streaming synthesizer must share that state
+        self.stream = StreamingSynthesizer(
+            self.engine.params, self.engine.cfg,
+            chunk_frames=chunk_frames, overlap=overlap)
+        self._stream_lock = threading.Lock()
+        if warmup:
+            self.engine.warmup()
+            self.stream.warmup()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet per-request stderr lines; errors still surface as codes
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _read_utterance(self):
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    raise ValueError("empty request body")
+                d = json.loads(self.rfile.read(length))
+                return utterance_from_dict(d, server.engine.cfg)
+
+            def do_GET(self):
+                if urlparse(self.path).path != "/healthz":
+                    return self._json(404, {"error": "unknown endpoint"})
+                cfg = server.engine.cfg
+                self._json(200, {
+                    "status": "ok",
+                    "sampling_rate": cfg.sampling_rate,
+                    "max_seq_len": cfg.max_seq_len,
+                    "precision": cfg.compute_dtype,
+                    "mel_buckets": list(server.engine.mel_buckets),
+                })
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                try:
+                    if url.path == "/synthesize":
+                        return self._synthesize(url)
+                    if url.path == "/stream":
+                        return self._stream()
+                    return self._json(404, {"error": "unknown endpoint"})
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": str(e)})
+
+            def _synthesize(self, url):
+                src, pun, style, n = self._read_utterance()
+                trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
+                wavs, _ = server.engine.synthesize(src, pun, style, n,
+                                                   trim=trim)
+                pcm = float_to_pcm16(wavs[0]).tobytes()
+                sr = server.engine.cfg.sampling_rate
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(44 + len(pcm)))
+                self.end_headers()
+                self.wfile.write(_wav_header(sr, len(pcm)))
+                self.wfile.write(pcm)
+
+            def _stream(self):
+                src, pun, style, n = self._read_utterance()
+                sr = server.engine.cfg.sampling_rate
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(b: bytes):
+                    self.wfile.write(f"{len(b):X}\r\n".encode())
+                    self.wfile.write(b)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
+
+                # streaming-WAV convention: unknown-length sizes; players
+                # read until the connection closes
+                chunk(_wav_header(sr, 0xFFFFFFFF - 44))
+                with server._stream_lock:
+                    for piece in server.stream.stream(src, pun, style, n):
+                        chunk(float_to_pcm16(np.asarray(piece)).tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def start(self):
+        """Serve on a daemon thread (tests / embedding)."""
+        self._thread = threading.Thread(target=self.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
