@@ -241,3 +241,24 @@ def test_conv_transpose1d_grouped_matches_polyphase(rng, B, stride, K, Cin,
     assert got.shape == (B, L // g, g * stride * Cout)
     np.testing.assert_allclose(np.asarray(got.reshape(B, -1, Cout)),
                                np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stride,outpad", [(1, 2), (1, 4), (2, 2), (3, 5)])
+def test_conv_transpose_rejects_outpad_geq_stride(rng, stride, outpad):
+    """torch's domain rule (output_padding < stride) is enforced: outside
+    it the formulations diverge (the lhs_dilation form reads out of bounds
+    via negative conv padding) and the grouped builder's d_lo goes
+    positive — there is no defined answer to give (review r3 #2)."""
+    from zerovox_tpu.ops.conv import (conv_transpose1d,
+                                      conv_transpose1d_lax,
+                                      conv_transpose1d_grouped)
+    K = 2 * stride
+    pad = (K - stride + outpad) // 2   # keep out_len == L*stride plausible
+    w = jnp.asarray(rng.normal(size=(K, 8, 8)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 24, 8)), jnp.float32)
+    for fn in (conv_transpose1d, conv_transpose1d_lax):
+        with pytest.raises(ValueError, match="output_padding"):
+            fn(x, w, None, stride=stride, padding=pad, output_padding=outpad)
+    with pytest.raises(ValueError, match="output_padding"):
+        conv_transpose1d_grouped(x, w, None, stride=stride, padding=pad,
+                                 output_padding=outpad, rho_in=1, g=1)

@@ -224,3 +224,20 @@ def test_engine_concurrent_requests(rng):
     for wav, mel_len in results:
         np.testing.assert_array_equal(np.asarray(mel_len), np.asarray(ref_len))
         np.testing.assert_allclose(wav, ref_wavs[0], atol=1e-6)
+
+
+def test_engine_untrimmed_length_consistent(rng):
+    """trim=False promises the reference's FULL padded buffer on every
+    path: both single_rtt modes and synthesize_packed must return
+    max_seq_len*hop regardless of bucket dispatch (review r3 #5 — the
+    non-single_rtt path used to return a bucket-length array)."""
+    params = init_params(CFG, seed=0)
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32))
+    src, pun, style = _inputs(rng, B=1)
+    full = CFG.max_seq_len * CFG.hop_size
+    w_rtt, _ = e.synthesize(src, pun, style, trim=False, single_rtt=True)
+    w_buk, _ = e.synthesize(src, pun, style, trim=False, single_rtt=False)
+    w_pkd, _ = e.synthesize_packed(src, pun, style, trim=False)
+    assert len(w_rtt[0]) == len(w_buk[0]) == len(w_pkd[0]) == full
+    np.testing.assert_allclose(w_rtt[0], w_buk[0], atol=1e-6)
+    np.testing.assert_allclose(w_rtt[0], w_pkd[0], atol=1e-6)

@@ -84,6 +84,10 @@ def test_stream_matches_oneshot(server):
     c.request("POST", "/stream", body, {"Content-Type": "application/json"})
     r = c.getresponse()
     assert r.status == 200
+    # chunked framing only exists in HTTP/1.1 — a 1.0 status line here
+    # would make version-honoring clients read the chunk-size lines as
+    # audio bytes (review r3 #1)
+    assert r.version == 11
     assert r.getheader("Transfer-Encoding") == "chunked"
     sr, pcm_stream = _parse_wav(r.read())   # http.client de-chunks
     assert sr == TINY_CONFIG.sampling_rate

@@ -166,6 +166,19 @@ def conv1d(x: jnp.ndarray,
     return out
 
 
+def _check_output_padding(stride: int, output_padding: int):
+    """torch's ConvTranspose1d domain rule (output_padding < stride).
+
+    Outside it the op has no defined semantics and every formulation here
+    diverges — the lhs_dilation form even reads out of bounds via negative
+    conv padding, and such geometries are the only way
+    build_wtranspose_grouped's d_lo can go positive (review r3 #2) —
+    so reject instead of answering garbage, exactly as torch does."""
+    if output_padding >= max(1, stride):
+        raise ValueError(
+            f"output_padding ({output_padding}) must be < stride ({stride})")
+
+
 def transpose_out_len(L: int, stride: int, K: int, padding: int,
                       output_padding: int) -> int:
     """ConvTranspose1d output length (torch semantics).  Equals L*stride
@@ -187,6 +200,7 @@ def conv_transpose1d_lax(x: jnp.ndarray,
     upsample inside the full vocoder graph vs <0.4 ms isolated.
     """
     k = w_flipped.shape[0]
+    _check_output_padding(stride, output_padding)
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
     xc, wc = _staged(x, w_flipped)
@@ -231,6 +245,7 @@ def conv_transpose1d(x: jnp.ndarray,
     """
     B, L, Cin = x.shape
     K, _, Cout = w_flipped.shape
+    _check_output_padding(stride, output_padding)
     out_len = transpose_out_len(L, stride, K, padding, output_padding)
     # at short lengths (streaming chunks, small buckets) the polyphase
     # slicing/stack overhead dominates — the lax path wins there
@@ -332,6 +347,7 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     B, R, rc = x_rows.shape
     K, Cin, Cout = w_flipped.shape
     assert rc == rho_in * Cin
+    _check_output_padding(stride, output_padding)
     L = R * rho_in
     out_len = transpose_out_len(L, stride, K, padding, output_padding)
     assert out_len == L * stride, "grouped transpose requires same-multiple geometry"
@@ -359,10 +375,15 @@ def conv_transpose1d_grouped(x_rows: jnp.ndarray,
     # xg[d//a :, (d%a)*rc : (d%a+1)*rc] of xg = x.reshape(-1, a*rc).
     if B > 1:
         xc, Mc = _staged(x_rows, M)
+        # exact conv padding: y[Q] = sum_d x[a*Q + d_lo + d] @ M[d] needs
+        # low = -d_lo (negative = XLA crops, which is correct for d_lo > 0
+        # — the r2 pad_l clamp must NOT reach this path) and a high pad
+        # sized so the output count is exactly R_out
+        hi = (R_out - 1) * a + n_d - R + d_lo
         out = lax.conv_general_dilated(
             xc, Mc,
             window_strides=(a,),
-            padding=[(pad_l, pad_r)],
+            padding=[(-d_lo, hi)],
             dimension_numbers=_DIMENSION_NUMBERS,
             preferred_element_type=jnp.float32
             if (x_rows.dtype == jnp.float32 or _F16_STAGING) else None,

@@ -164,7 +164,13 @@ class TTSEngine:
         mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
         B = mel.shape[0]
-        bucket = self.pick_bucket(int(mel_len_h.max()) if B else 0)
+        # trim=False promises the reference's FULL padded buffer (whose tail
+        # is bias-propagated, not zero), so it must vocode at the max
+        # bucket on every path — otherwise this branch would return a
+        # bucket-length array while the single-RTT branch above returns
+        # max_seq_len*hop for the same inputs
+        bucket = (self.pick_bucket(int(mel_len_h.max()) if B else 0)
+                  if trim else self.mel_buckets[-1])
 
         wav = self._back_fn(bucket)(self.params, mel[:, :bucket])
         wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
@@ -192,7 +198,9 @@ class TTSEngine:
         cfg = self.cfg
         top = self.batch_ladder[-1]
         wavs: List[Optional[np.ndarray]] = [None] * B
-        for bucket, idxs in self.group_by_bucket(mel_len_h).items():
+        groups = (self.group_by_bucket(mel_len_h) if trim
+                  else {self.mel_buckets[-1]: list(range(B))})
+        for bucket, idxs in groups.items():
             for c0 in range(0, len(idxs), top):
                 chunk = idxs[c0:c0 + top]
                 size = self.ladder_size(len(chunk))

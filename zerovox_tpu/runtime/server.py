@@ -95,6 +95,18 @@ class TTSServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer framing only exists in HTTP/1.1 — the 1.0
+            # default would make version-honoring clients read the raw
+            # chunk-size lines into the audio.  Every response therefore
+            # carries Content-Length or Transfer-Encoding (1.1 keep-alive).
+            protocol_version = "HTTP/1.1"
+
+            def setup(self):
+                super().setup()
+                # a stalled client must time out rather than pin its
+                # handler thread (and, worse, anything it holds) forever
+                self.connection.settimeout(300)
+
             # quiet per-request stderr lines; errors still surface as codes
             def log_message(self, *a):
                 pass
@@ -128,6 +140,7 @@ class TTSServer:
 
             def do_POST(self):
                 url = urlparse(self.path)
+                self._body_started = False
                 try:
                     if url.path == "/synthesize":
                         return self._synthesize(url)
@@ -135,6 +148,13 @@ class TTSServer:
                         return self._stream()
                     return self._json(404, {"error": "unknown endpoint"})
                 except (ValueError, json.JSONDecodeError) as e:
+                    if self._body_started:
+                        # headers (and possibly chunks) are on the wire: a
+                        # JSON error response here would be parsed as
+                        # chunk framing — drop the connection instead so
+                        # the client sees a truncated (invalid) stream
+                        self.close_connection = True
+                        return
                     return self._json(400, {"error": str(e)})
 
             def _synthesize(self, url):
@@ -158,6 +178,7 @@ class TTSServer:
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
+                self._body_started = True
 
                 def chunk(b: bytes):
                     self.wfile.write(f"{len(b):X}\r\n".encode())
@@ -166,12 +187,21 @@ class TTSServer:
                     self.wfile.flush()
 
                 # streaming-WAV convention: unknown-length sizes; players
-                # read until the connection closes
+                # read until the stream ends
                 chunk(_wav_header(sr, 0xFFFFFFFF - 44))
-                with server._stream_lock:
-                    for piece in server.stream.stream(src, pun, style, n):
-                        chunk(float_to_pcm16(np.asarray(piece)).tobytes())
+                # the lock guards only chunk GENERATION (the streaming
+                # programs share carry buffers); socket writes happen
+                # outside it so one stalled client cannot block the other
+                # /stream requests
+                it = server.stream.stream(src, pun, style, n)
+                while True:
+                    with server._stream_lock:
+                        piece = next(it, None)
+                    if piece is None:
+                        break
+                    chunk(float_to_pcm16(np.asarray(piece)).tobytes())
                 self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
