@@ -241,3 +241,19 @@ def test_engine_untrimmed_length_consistent(rng):
     assert len(w_rtt[0]) == len(w_buk[0]) == len(w_pkd[0]) == full
     np.testing.assert_allclose(w_rtt[0], w_buk[0], atol=1e-6)
     np.testing.assert_allclose(w_rtt[0], w_pkd[0], atol=1e-6)
+
+
+def test_engine_pcm16_matches_host_quantisation(rng):
+    """The device-side PCM16 path (int16 fetch halves the dominant
+    host-transfer bytes) must equal io.wav.float_to_pcm16 of the float
+    path bit-for-bit: same clip, same scale, same truncate-toward-zero."""
+    from zerovox_tpu.io.wav import float_to_pcm16
+    params = init_params(CFG, seed=0)
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32))
+    src, pun, style = _inputs(rng, B=1)
+    for srtt in (True, False):
+        wf, _ = e.synthesize(src, pun, style, trim=False, single_rtt=srtt)
+        wq, _ = e.synthesize(src, pun, style, trim=False, single_rtt=srtt,
+                             pcm16=True)
+        assert wq[0].dtype == np.int16
+        np.testing.assert_array_equal(wq[0], float_to_pcm16(wf[0]))

@@ -84,18 +84,30 @@ class TTSEngine:
         # engines are shared across serving threads; guard the compile cache
         self._lock = threading.Lock()
 
-    def _back_fn(self, bucket: int):
-        """Vocoder program specialised to `bucket` mel frames."""
+    def _back_fn(self, bucket: int, pcm16: bool = False):
+        """Vocoder program specialised to `bucket` mel frames.
+
+        pcm16=True appends the WAV quantisation ON DEVICE (clip to [-1,1],
+        scale, truncate-toward-zero — numerically identical to
+        io.wav.float_to_pcm16) so the host fetch moves int16: the fetch of
+        a fresh 450k-sample waveform through the tunnel measured 98.5 ms
+        p50 as f32 vs 75.3 ms as int16 — the transfer, not the compute,
+        dominates one-shot serving latency."""
+        key = (bucket, pcm16)
         with self._lock:
-            if bucket not in self._back:
+            if key not in self._back:
                 cfg_ = self.cfg
 
                 @jax.jit
                 def back(params, mel_b):
-                    return hifigan.vocode(params, cfg_, mel_b)
+                    wav = hifigan.vocode(params, cfg_, mel_b)
+                    if pcm16:
+                        wav = (jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+                               * 32767.0).astype(jnp.int16)
+                    return wav
 
-                self._back[bucket] = back
-            return self._back[bucket]
+                self._back[key] = back
+            return self._back[key]
 
     def pick_bucket(self, mel_len: int) -> int:
         """Smallest bucket covering mel_len + the vocoder receptive field."""
@@ -112,10 +124,11 @@ class TTSEngine:
                 return s
         return self.batch_ladder[-1]
 
-    def warmup(self, batch: int = 1):
+    def warmup(self, batch: int = 1, pcm16: bool = False):
         """Compile every program serving can hit: the front at `batch`, and
         the vocoder at each bucket for batch `batch` (synthesize) and for
-        each ladder size <= ladder_size(batch) (synthesize_packed groups)."""
+        each ladder size <= ladder_size(batch) (synthesize_packed groups).
+        pcm16=True additionally warms the int16-output variants."""
         cfg = self.cfg
         src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
         style = jnp.zeros((batch, cfg.d_model), jnp.float32)
@@ -123,16 +136,19 @@ class TTSEngine:
                              jnp.zeros((batch,), jnp.int32))
         sizes = {batch} | {s for s in self.batch_ladder
                            if s <= self.ladder_size(batch)}
+        variants = (False, True) if pcm16 else (False,)
         for b in self.mel_buckets:
             for s in sorted(sizes):
                 mel_s = mel[:s] if s <= batch else jnp.concatenate(
                     [mel] * (-(-s // batch)), axis=0)[:s]
-                self._back_fn(b)(self.params, mel_s[:, :b])
+                for v in variants:
+                    self._back_fn(b, v)(self.params, mel_s[:, :b])
 
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,
                    num_phonemes=None, trim: bool = True,
-                   single_rtt: Optional[bool] = None
+                   single_rtt: Optional[bool] = None,
+                   pcm16: bool = False
                    ) -> Tuple[List[np.ndarray], np.ndarray]:
         """Batched synthesis with bucket dispatch.
 
@@ -155,9 +171,11 @@ class TTSEngine:
             mel, mel_len = self._dispatch_front(
                 src_seq, puncts, style_embed, num_phonemes)
             bucket = self.mel_buckets[-1]
-            wav = self._back_fn(bucket)(self.params, mel[:, :bucket])
+            wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
             wav_h, mel_len_h = jax.device_get((wav, mel_len))   # ONE fetch
-            wav_h = np.asarray(wav_h, dtype=np.float32)
+            wav_h = np.asarray(wav_h)
+            if not pcm16:
+                wav_h = wav_h.astype(np.float32)
             mel_len_h = np.asarray(mel_len_h)
             return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
@@ -172,8 +190,10 @@ class TTSEngine:
         bucket = (self.pick_bucket(int(mel_len_h.max()) if B else 0)
                   if trim else self.mel_buckets[-1])
 
-        wav = self._back_fn(bucket)(self.params, mel[:, :bucket])
-        wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
+        wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
+        wav_h = np.asarray(jax.device_get(wav))
+        if not pcm16:
+            wav_h = wav_h.astype(np.float32)
         return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
     def synthesize_packed(self, src_seq, puncts, style_embed,

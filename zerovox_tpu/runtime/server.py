@@ -89,7 +89,10 @@ class TTSServer:
             chunk_frames=chunk_frames, overlap=overlap)
         self._stream_lock = threading.Lock()
         if warmup:
-            self.engine.warmup()
+            # /synthesize serves the device-quantised int16 variants: the
+            # PCM16 fetch halves the host-transfer bytes, which dominate
+            # one-shot latency (engine._back_fn docstring)
+            self.engine.warmup(pcm16=True)
             self.stream.warmup()
 
         server = self
@@ -161,8 +164,8 @@ class TTSServer:
                 src, pun, style, n = self._read_utterance()
                 trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
                 wavs, _ = server.engine.synthesize(src, pun, style, n,
-                                                   trim=trim)
-                pcm = float_to_pcm16(wavs[0]).tobytes()
+                                                   trim=trim, pcm16=True)
+                pcm = wavs[0].tobytes()
                 sr = server.engine.cfg.sampling_rate
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
