@@ -118,3 +118,26 @@ def test_bad_requests(server):
 
     with pytest.raises(ValueError, match="style"):
         utterance_from_dict({"phonemes": [1], "style": [0.0]}, TINY_CONFIG)
+
+
+def test_batch_endpoint(server):
+    """/batch routes a mixed batch through synthesize_packed and returns
+    per-utterance base64 WAVs aligned with the request order."""
+    import base64
+    utts = [_utt(TINY_CONFIG, seed=s) for s in (0, 1, 2)]
+    c = _conn(server)
+    c.request("POST", "/batch?trim=0", json.dumps({"utterances": utts}).encode(),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    d = json.loads(r.read())
+    assert len(d["wavs"]) == len(d["mel_len"]) == 3
+    full = TINY_CONFIG.max_seq_len * TINY_CONFIG.hop_size
+    for w64 in d["wavs"]:
+        sr, pcm = _parse_wav(base64.b64decode(w64))
+        assert sr == TINY_CONFIG.sampling_rate and len(pcm) == full
+
+    c = _conn(server)
+    c.request("POST", "/batch", json.dumps({"utterances": []}).encode(),
+              {"Content-Type": "application/json"})
+    assert c.getresponse().status == 400

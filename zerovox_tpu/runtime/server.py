@@ -15,6 +15,10 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
   GET  /healthz      -> {"status": "ok", "sampling_rate": ..., ...}
   POST /synthesize   -> complete WAV (query: ?trim=0 keeps the padded
                         buffer, the reference's behavior)
+  POST /batch        -> {"utterances": [utt, ...]} -> JSON array of
+                        base64 WAVs via the bucket-packed engine path
+                        (one vocoder dispatch per mel bucket group,
+                        ladder-bounded compile keys)
   POST /stream       -> chunked WAV: the 44-byte header (streaming-size
                         convention) followed by PCM16 the moment each
                         vocoder chunk lands — time-to-first-byte is the
@@ -23,6 +27,7 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
 
 from __future__ import annotations
 
+import base64
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -147,6 +152,8 @@ class TTSServer:
                 try:
                     if url.path == "/synthesize":
                         return self._synthesize(url)
+                    if url.path == "/batch":
+                        return self._batch(url)
                     if url.path == "/stream":
                         return self._stream()
                     return self._json(404, {"error": "unknown endpoint"})
@@ -173,6 +180,31 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(_wav_header(sr, len(pcm)))
                 self.wfile.write(pcm)
+
+            def _batch(self, url):
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    raise ValueError("empty request body")
+                d = json.loads(self.rfile.read(length))
+                utts = d.get("utterances")
+                if not isinstance(utts, list) or not utts:
+                    raise ValueError("need a non-empty 'utterances' list")
+                cfg = server.engine.cfg
+                parsed = [utterance_from_dict(u, cfg) for u in utts]
+                src = np.concatenate([p[0] for p in parsed])
+                pun = np.concatenate([p[1] for p in parsed])
+                sty = np.concatenate([p[2] for p in parsed])
+                n = np.concatenate([p[3] for p in parsed])
+                trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
+                wavs, mel_len = server.engine.synthesize_packed(
+                    src, pun, sty, n, trim=trim)
+                sr = cfg.sampling_rate
+                out = [base64.b64encode(
+                           _wav_header(sr, 2 * len(w))
+                           + float_to_pcm16(w).tobytes()).decode()
+                       for w in wavs]
+                self._json(200, {"wavs": out,
+                                 "mel_len": [int(m) for m in mel_len]})
 
             def _stream(self):
                 src, pun, style, n = self._read_utterance()
