@@ -10,10 +10,13 @@ tile is written back.
 
 Layout: folded (nblk, 128) activations (rho = 128/C time-steps per lane
 block, see ops.conv.fold).  Each conv is a sum over block offsets delta of
-dense (128, 128) MXU matmuls (the statically scattered W_delta of
-conv1d_folded); shifted reads are pltpu.roll's of the VMEM tile, with the
-halo sized to the stage's cumulative receptive field so wrap-around rows
-never reach the emitted region.
+dense (128, 128) MXU matmuls (the statically scattered, phase-shifted
+W_delta of conv1d_folded); shifted reads are SHRINKING-WINDOW STATIC
+SLICES of the VMEM tile (the r1 roll formulation was VPU-shuffle-bound),
+with the halo sized to the stage's cumulative receptive field and per-tile
+edge-branch DMA over the unpadded input.  For a == 1 stages the preceding
+transpose-conv upsample runs in-kernel too (`upsample=`), so the upsampled
+activation never exists in HBM.
 
 Reference counterpart: the per-node CPU kernels + barrier loop of
 ggml_graph_compute (/root/reference/ggml/src/ggml-cpu/ggml-cpu.c:13568-13820)
@@ -30,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..conv import (_folded_weight_terms, build_wcontract, contracted_layout,
+from ..conv import (_folded_weight_terms, build_wcontract,
                     build_wtranspose_grouped, transpose_out_len)
 
 
