@@ -44,6 +44,18 @@ def test_dryrun_multichip_as_driver_calls_it():
 def test_dryrun_multichip_after_backend_init():
     """If the backend initialized first (too few devices), the subprocess
     fallback must still complete the dryrun."""
+    import pytest
+    # this test must initialize the REAL default backend first; when that
+    # backend is a tunnel-attached TPU and the tunnel is down, jax.devices()
+    # hangs — an environment outage, not a code regression, so probe
+    # cheaply and skip rather than fail
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=_scrubbed_env(), cwd=REPO, capture_output=True,
+            timeout=120, check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        pytest.skip("default JAX backend unreachable (TPU tunnel down)")
     code = (
         "import jax; jax.devices();"  # lock in whatever platform is default
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
