@@ -53,6 +53,25 @@ def main():
                     help="skip the streaming time-to-first-audio measurement")
     args = ap.parse_args()
 
+    # fail FAST when the device backend is unreachable (a downed TPU tunnel
+    # makes jax.devices() hang indefinitely — better a clear error exit than
+    # a silent multi-minute stall in the driver)
+    import os
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ), capture_output=True, timeout=180)
+        err = probe.stderr.decode()[-500:] if probe.returncode else ""
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok, err = False, "probe timed out after 180s"
+    if not ok:
+        print("bench: JAX backend unreachable (TPU tunnel down?)",
+              file=sys.stderr)
+        print(err, file=sys.stderr)
+        return 2
+
     import jax
     import jax.numpy as jnp
     from zerovox_tpu.config import ZeroVoxConfig
@@ -155,4 +174,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
