@@ -19,6 +19,17 @@ def float_to_pcm16(x: np.ndarray) -> np.ndarray:
     return (x * 32767.0).astype(np.int16)
 
 
+def float_to_pcm16_device(x):
+    """float_to_pcm16 as a jax-traceable op (same clip, scale, truncate-
+    toward-zero — bit-identical, pinned by
+    tests/test_runtime.py::test_engine_pcm16_matches_host_quantisation).
+    Running the quantisation ON DEVICE halves the host-fetch bytes, which
+    dominate one-shot serving latency (engine._back_fn)."""
+    import jax.numpy as jnp
+    return (jnp.clip(x.astype(jnp.float32), -1.0, 1.0)
+            * 32767.0).astype(jnp.int16)
+
+
 def _wav_header(sampling_rate: int, data_bytes: int) -> bytes:
     """44-byte RIFF/fmt/data header (PCM16 mono); sizes patched by callers
     that stream (offsets 4 and 40)."""

@@ -102,8 +102,8 @@ class TTSEngine:
                 def back(params, mel_b):
                     wav = hifigan.vocode(params, cfg_, mel_b)
                     if pcm16:
-                        wav = (jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
-                               * 32767.0).astype(jnp.int16)
+                        from ..io.wav import float_to_pcm16_device
+                        wav = float_to_pcm16_device(wav)
                     return wav
 
                 self._back[key] = back
@@ -173,9 +173,7 @@ class TTSEngine:
             bucket = self.mel_buckets[-1]
             wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
             wav_h, mel_len_h = jax.device_get((wav, mel_len))   # ONE fetch
-            wav_h = np.asarray(wav_h)
-            if not pcm16:
-                wav_h = wav_h.astype(np.float32)
+            wav_h = self._host_wav(wav_h, pcm16)
             mel_len_h = np.asarray(mel_len_h)
             return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
@@ -191,9 +189,7 @@ class TTSEngine:
                   if trim else self.mel_buckets[-1])
 
         wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
-        wav_h = np.asarray(jax.device_get(wav))
-        if not pcm16:
-            wav_h = wav_h.astype(np.float32)
+        wav_h = self._host_wav(jax.device_get(wav), pcm16)
         return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
     def synthesize_packed(self, src_seq, puncts, style_embed,
@@ -256,6 +252,13 @@ class TTSEngine:
             src_seq, puncts, style_embed, num_phonemes)
         mel_len_h = np.asarray(jax.device_get(mel_len))
         return mel, mel_len_h
+
+    @staticmethod
+    def _host_wav(wav_h, pcm16: bool) -> np.ndarray:
+        """Fetched waveform as numpy: int16 passes through (device-quantised),
+        the float path is widened to f32 for callers (bf16 serving)."""
+        wav_h = np.asarray(wav_h)
+        return wav_h if pcm16 else wav_h.astype(np.float32)
 
     def _trim(self, wav_h: np.ndarray, mel_len_h: np.ndarray, trim: bool
               ) -> List[np.ndarray]:

@@ -84,7 +84,6 @@ class TTSServer:
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
-        self.cfg_in = cfg
         self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
                                 precision=precision)
         # the engine may have cast params/cfg for bf16 serving; the
@@ -127,12 +126,15 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _read_utterance(self):
+            def _read_json(self):
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     raise ValueError("empty request body")
-                d = json.loads(self.rfile.read(length))
-                return utterance_from_dict(d, server.engine.cfg)
+                return json.loads(self.rfile.read(length))
+
+            def _read_utterance(self):
+                return utterance_from_dict(self._read_json(),
+                                           server.engine.cfg)
 
             def do_GET(self):
                 if urlparse(self.path).path != "/healthz":
@@ -182,11 +184,7 @@ class TTSServer:
                 self.wfile.write(pcm)
 
             def _batch(self, url):
-                length = int(self.headers.get("Content-Length", 0))
-                if length <= 0:
-                    raise ValueError("empty request body")
-                d = json.loads(self.rfile.read(length))
-                utts = d.get("utterances")
+                utts = self._read_json().get("utterances")
                 if not isinstance(utts, list) or not utts:
                     raise ValueError("need a non-empty 'utterances' list")
                 cfg = server.engine.cfg
