@@ -287,3 +287,37 @@ def test_in_kernel_upsample_matches_xla_grouped(rng, s, Cin, ing, in_leaky):
                       rho_in=1, in_leaky=in_leaky))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("scales,C0,L,expect", [
+    ((5, 3), 128, 60, "grouped a=2, ing=5 then the ing=3 XLA regroup"),
+    ((2, 4), 64, 64, "grouped ing=1 then fused-up"),
+    ((3, 5), 256, 60, "fused-up then grouped ing=5"),
+    ((4, 2), 256, 48, "fused-up at two fold depths"),
+    ((2, 2), 16, 64, "sub-128-lane chains: the XLA-folded fallback gate"),
+])
+def test_vocode_geometry_sweep(rng, scales, C0, L, expect):
+    """Every vocoder dispatch path (fused in-kernel upsample, grouped rows
+    at a>1 incl. the ing=3 regroup, plain kernel, and the rho*C < 128
+    Mosaic-gate fallback) must agree with the XLA folded reference across
+    non-production geometries — the r3 serve-on-TPU incident showed the
+    config space beyond the production model was under-covered."""
+    import dataclasses
+    from zerovox_tpu.models.hifigan import vocode
+
+    cfg = dataclasses.replace(
+        CFG,
+        hifigan_channels=C0,
+        upsample_scales=tuple(scales),
+        upsample_kernel_sizes=tuple(2 * s for s in scales),
+        hop_size=int(np.prod(scales)),
+        max_seq_len=L)
+    params = init_params(cfg, seed=0)
+    mel = jnp.asarray(rng.normal(size=(2, L, cfg.num_mels)), jnp.float32)
+    ref = vocode(params, dataclasses.replace(cfg, vocoder_backend="folded"),
+                 mel)
+    got = vocode(params, dataclasses.replace(cfg, vocoder_backend="pallas"),
+                 mel)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4, err_msg=expect)
