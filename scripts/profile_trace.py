@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--attrib", action="store_true",
+                    help="aggregate by HLO source file:line (metadata) "
+                         "instead of raw fusion names")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +96,21 @@ def main():
                         jnp.float32)
 
     fn = jax.jit(lambda p, a, b, c: synthesize(p, cfg, a, b, c).wav)
+    srcmap = {}
+    if args.attrib:
+        # map HLO instruction names -> (source file:line, op_name) from the
+        # compiled module's metadata, so fusions print WHERE they come from
+        # (this is how the §8/§11 per-site numbers were attributed)
+        import re
+        hlo = fn.lower(params, src, pun, style).compile().as_text()
+        pat = re.compile(r'%(\S+?) = .*?metadata=\{op_name="([^"]*)"'
+                         r'(?: source_file="([^"]*)" source_line=(\d+))?')
+        for line in hlo.splitlines():
+            m = pat.search(line)
+            if m:
+                name, op, f, ln = m.groups()
+                srcmap[name] = ((f or "").split("/")[-1] + ":" + (ln or "?")
+                                + " " + op[:60])
     fn(params, src, pun, style).block_until_ready()
     # per-op durations sum correctly even if runs overlap on device, so a
     # plain dispatch loop suffices (no data-dependent chain needed here)
@@ -105,6 +123,11 @@ def main():
     time.sleep(2)   # let the profiler flush through the tunnel
 
     agg = aggregate_trace(logdir, args.runs)
+    if srcmap:
+        by = defaultdict(float)
+        for name, ms in agg.items():
+            by[srcmap.get(name, "(unmapped) " + name[:60])] += ms
+        agg = by
     items = sorted(agg.items(), key=lambda kv: -kv[1])
     total = sum(agg.values())
     print(f"trace: {total:.3f} ms total device time per run (B={B})")
