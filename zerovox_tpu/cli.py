@@ -66,7 +66,7 @@ def main(argv=None):
                     help="keep the full padded waveform (reference behavior)")
     ap.add_argument("--serve", action="store_true",
                     help="run the HTTP serving daemon instead of one-shot "
-                         "synthesis (endpoints: /healthz /synthesize /stream)")
+                         "synthesis (endpoints: /healthz /synthesize /batch /stream)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
     args = ap.parse_args(argv)
@@ -94,7 +94,7 @@ def main(argv=None):
                            overlap=args.overlap)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
-              "(/healthz /synthesize /stream)", file=sys.stderr)
+              "(/healthz /synthesize /batch /stream)", file=sys.stderr)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
