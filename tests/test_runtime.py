@@ -257,3 +257,7 @@ def test_engine_pcm16_matches_host_quantisation(rng):
                              pcm16=True)
         assert wq[0].dtype == np.int16
         np.testing.assert_array_equal(wq[0], float_to_pcm16(wf[0]))
+    wf, _ = e.synthesize_packed(src, pun, style, trim=False)
+    wq, _ = e.synthesize_packed(src, pun, style, trim=False, pcm16=True)
+    assert wq[0].dtype == np.int16
+    np.testing.assert_array_equal(wq[0], float_to_pcm16(wf[0]))

@@ -193,7 +193,8 @@ class TTSEngine:
         return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
     def synthesize_packed(self, src_seq, puncts, style_embed,
-                          num_phonemes=None, trim: bool = True
+                          num_phonemes=None, trim: bool = True,
+                          pcm16: bool = False
                           ) -> Tuple[List[np.ndarray], np.ndarray]:
         """Bucket-packed batched synthesis.
 
@@ -222,8 +223,9 @@ class TTSEngine:
                 size = self.ladder_size(len(chunk))
                 padded = chunk + [chunk[0]] * (size - len(chunk))
                 mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
-                wav = self._back_fn(bucket)(self.params, mel_g[:, :bucket])
-                wav_h = np.asarray(jax.device_get(wav), dtype=np.float32)
+                wav = self._back_fn(bucket, pcm16)(self.params,
+                                                   mel_g[:, :bucket])
+                wav_h = self._host_wav(jax.device_get(wav), pcm16)
                 for k, i in enumerate(chunk):
                     w = wav_h[k]
                     if trim:

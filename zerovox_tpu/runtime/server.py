@@ -195,11 +195,11 @@ class TTSServer:
                 n = np.concatenate([p[3] for p in parsed])
                 trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
                 wavs, mel_len = server.engine.synthesize_packed(
-                    src, pun, sty, n, trim=trim)
+                    src, pun, sty, n, trim=trim, pcm16=True)
                 sr = cfg.sampling_rate
                 out = [base64.b64encode(
                            _wav_header(sr, 2 * len(w))
-                           + float_to_pcm16(w).tobytes()).decode()
+                           + w.tobytes()).decode()
                        for w in wavs]
                 self._json(200, {"wavs": out,
                                  "mel_len": [int(m) for m in mel_len]})
