@@ -147,3 +147,23 @@ def test_cli_stream_nondividing_chunks(tmp_path, rng):
     assert "TTFA" in r.stderr
     wav, rate = read_wav(out)
     assert rate == CFG.sampling_rate and len(wav) > 0
+
+
+def test_stream_pcm16_matches_host_quantisation(rng):
+    """pcm16=True streaming (device-quantised int16 chunks, half the
+    host-fetch bytes on the daemon's /stream) must equal quantising the
+    float chunks on the host, chunk for chunk."""
+    from zerovox_tpu.io.wav import float_to_pcm16
+    from zerovox_tpu.models.streaming import StreamingSynthesizer
+    params = init_params(CFG, seed=0)
+    src = rng.integers(0, CFG.num_phonemes + 1, size=(1, CFG.max_n_phonemes))
+    pun = rng.integers(0, CFG.num_puncts + 1, size=(1, CFG.max_n_phonemes))
+    style = rng.normal(scale=0.1, size=(1, CFG.d_model)).astype(np.float32)
+    sf = StreamingSynthesizer(params, CFG, chunk_frames=16, overlap=8)
+    sq = StreamingSynthesizer(params, CFG, chunk_frames=16, overlap=8,
+                              pcm16=True)
+    floats = list(sf.stream(src, pun, style))
+    quants = list(sq.stream(src, pun, style))
+    assert len(floats) == len(quants) and quants[0].dtype == np.int16
+    for f, q in zip(floats, quants):
+        np.testing.assert_array_equal(q, float_to_pcm16(f))

@@ -80,13 +80,17 @@ class StreamingWavWriter:
         self._f.flush()
 
     def write(self, wav_chunk: np.ndarray):
-        """Append a float chunk in [-1, 1]; bytes are on disk on return."""
+        """Append a chunk; bytes are on disk on return.  Floats in [-1, 1]
+        are quantised here; int16 chunks (device-quantised, pcm16=True
+        streaming) pass through untouched."""
         wav_chunk = np.asarray(wav_chunk)
         if wav_chunk.ndim == 2:
             if wav_chunk.shape[0] != 1:
                 raise ValueError(f"expected mono, got shape {wav_chunk.shape}")
             wav_chunk = wav_chunk[0]
-        data = float_to_pcm16(wav_chunk).tobytes()
+        if wav_chunk.dtype != np.int16:
+            wav_chunk = float_to_pcm16(wav_chunk)
+        data = wav_chunk.tobytes()
         self._f.write(data)
         self._f.flush()
         self._data_bytes += len(data)

@@ -40,9 +40,16 @@ class StreamingSynthesizer:
     jitted fixed-shape vocoder chunk, called repeatedly."""
 
     def __init__(self, params, cfg: ZeroVoxConfig,
-                 chunk_frames: int = 60, overlap: int = 16):
+                 chunk_frames: int = 60, overlap: int = 16,
+                 pcm16: bool = False):
+        """pcm16=True makes every chunk program emit device-quantised int16
+        (io.wav.float_to_pcm16_device): halves the per-chunk host-fetch
+        bytes, which the serving daemon's /stream pays per chunk.  The
+        quantisation is bit-identical to converting the float chunks on
+        the host, so stream/full-run exactness is preserved."""
         if chunk_frames <= 0 or overlap < 0:
             raise ValueError("chunk_frames must be > 0, overlap >= 0")
+        self.pcm16 = pcm16
         # r1 forced the folded XLA path here (the roll-based pallas kernel's
         # per-call overhead dominated at short chunk L: 69.9 vs 90.3 ms TTFA);
         # the r2 slice-based kernel reversed that (35.6 vs 38.8 ms p50), so
@@ -85,11 +92,17 @@ class StreamingSynthesizer:
             cfg_ = self.cfg
             hop = cfg_.hop_size
 
+            pcm = self.pcm16
+
             @jax.jit
             def f(params, mel, ws):
                 win = jax.lax.dynamic_slice_in_dim(mel, ws, window, axis=1)
                 wav = hifigan.vocode(params, cfg_, win)
-                return wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                if pcm:
+                    from ..io.wav import float_to_pcm16_device
+                    wav = float_to_pcm16_device(wav)
+                return wav
 
             self._sprograms[key] = f
         return self._sprograms[key]
@@ -101,10 +114,16 @@ class StreamingSynthesizer:
             cfg_ = self.cfg
             hop = cfg_.hop_size
 
+            pcm = self.pcm16
+
             @jax.jit
             def f(params, mel_window):
                 wav = hifigan.vocode(params, cfg_, mel_window)
-                return wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                if pcm:
+                    from ..io.wav import float_to_pcm16_device
+                    wav = float_to_pcm16_device(wav)
+                return wav
 
             self._programs[key] = f
         return self._programs[key]

@@ -90,7 +90,8 @@ class TTSServer:
         # streaming synthesizer must share that state
         self.stream = StreamingSynthesizer(
             self.engine.params, self.engine.cfg,
-            chunk_frames=chunk_frames, overlap=overlap)
+            chunk_frames=chunk_frames, overlap=overlap,
+            pcm16=True)   # chunks arrive device-quantised (half the bytes)
         self._stream_lock = threading.Lock()
         if warmup:
             # /synthesize serves the device-quantised int16 variants: the
@@ -232,7 +233,10 @@ class TTSServer:
                         piece = next(it, None)
                     if piece is None:
                         break
-                    chunk(float_to_pcm16(np.asarray(piece)).tobytes())
+                    piece = np.asarray(piece)
+                    if piece.dtype != np.int16:   # pcm16=False synthesizers
+                        piece = float_to_pcm16(piece)
+                    chunk(piece.tobytes())
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
 
