@@ -20,13 +20,20 @@ from pathlib import Path
 from typing import Optional, Tuple
 
 REF_GGML = Path("/root/reference/ggml")
+REF_SRC = Path("/root/reference/src")
 CACHE = Path(__file__).resolve().parents[2] / ".cache"
 SRC_SHADOW = CACHE / "ggml-src"
 BUILD = CACHE / "ggml-build"
 HARNESS_C = Path(__file__).resolve().parent / "harness.c"
 HARNESS_SO = CACHE / "zv_ggml_harness.so"
+STAGE_CPP = Path(__file__).resolve().parent / "stage_harness.cpp"
+STAGE_SO = CACHE / "zv_ggml_stages.so"
+# the reference's own stage classes, compiled unmodified as the diff subject
+STAGE_REF_SOURCES = ("fs2encoder.cpp", "stylettsdec.cpp", "hifigan.cpp",
+                     "utils.cpp")
 
 _cached: Optional[Tuple[Optional[ctypes.CDLL], str]] = None
+_stage_cached: Optional[Tuple[Optional[ctypes.CDLL], str]] = None
 
 
 def _run(cmd, timeout=600):
@@ -117,6 +124,65 @@ def _declare(lib: ctypes.CDLL):
     lib.zv_ggml_quantize_row.restype = c_int
     lib.zv_ggml_dequantize.argtypes = [c_int, u8p, f32p, i64]
     lib.zv_ggml_dequantize.restype = c_int
+
+
+def _build_stage_harness() -> Optional[str]:
+    ref_srcs = [REF_SRC / n for n in STAGE_REF_SOURCES]
+    if not all(p.exists() for p in ref_srcs):
+        return "reference src tree not available"
+    newest_dep = max(p.stat().st_mtime for p in ref_srcs + [STAGE_CPP])
+    if STAGE_SO.exists() and STAGE_SO.stat().st_mtime >= newest_dep:
+        return None
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if not cxx:
+        return "no C++ compiler"
+    libdir = BUILD / "src"
+    r = _run([cxx, "-std=c++17", "-shared", "-fPIC", "-O2",
+              "-I", str(REF_GGML / "include"), "-I", str(REF_SRC),
+              str(STAGE_CPP), *[str(p) for p in ref_srcs],
+              "-o", str(STAGE_SO), "-L", str(libdir),
+              "-lggml-cpu", "-lggml-base", f"-Wl,-rpath,{libdir}"])
+    if r.returncode:
+        return f"stage harness compile failed: {r.stderr[-600:]}"
+    return None
+
+
+def _declare_stages(lib: ctypes.CDLL):
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    c_int, c_u32 = ctypes.c_int, ctypes.c_uint32
+    lib.zv_stages_load.argtypes = [ctypes.c_char_p, u32p, i32p, c_int,
+                                   i64p, c_int, c_int]
+    lib.zv_stages_load.restype = c_int
+    lib.zv_stages_encoder.argtypes = [i32p, i32p, f32p, c_u32, f32p]
+    lib.zv_stages_encoder.restype = c_u32
+    lib.zv_stages_decoder.argtypes = [f32p, f32p, f32p]
+    lib.zv_stages_decoder.restype = c_int
+    lib.zv_stages_hifigan.argtypes = [f32p, f32p]
+    lib.zv_stages_hifigan.restype = c_int
+    lib.zv_stages_free.argtypes = []
+    lib.zv_stages_free.restype = None
+
+
+def get_stage_harness() -> Tuple[Optional[ctypes.CDLL], str]:
+    """Reference-stage-class harness: (lib, "") or (None, reason)."""
+    global _stage_cached
+    if _stage_cached is not None:
+        return _stage_cached
+    reason = _build_ggml() or _build_stage_harness()
+    if reason:
+        _stage_cached = (None, reason)
+        return _stage_cached
+    try:
+        lib = ctypes.CDLL(str(STAGE_SO))
+        _declare_stages(lib)
+    except OSError as e:
+        _stage_cached = (None, f"dlopen failed: {e}")
+        return _stage_cached
+    _stage_cached = (lib, "")
+    return _stage_cached
 
 
 def get_harness() -> Tuple[Optional[ctypes.CDLL], str]:

@@ -1,0 +1,246 @@
+// Stage-level differential harness: drives the REFERENCE's own C++ model
+// classes (FS2Encoder, StyleTTSDecoder, HiFiGAN — compiled unmodified from
+// /root/reference/src/) over a synthetic GGUF so tests/test_ggml_stage_diff.py
+// can diff our jax stages against the reference's real stage graphs at their
+// eval() boundaries.
+//
+// This file is the subject-under-test glue, not a reimplementation: the model
+// code itself is the reference's, linked as-is.  The GGUF load loop follows
+// the only idiom ggml's public API offers for a no_alloc context
+// (/root/reference/src/zerovox.cpp:28-176 does the same dance); geometry is
+// passed in explicitly because the reference hardcodes its production values
+// in zerovox.cpp (MAX_N_PHONEMES=120, HiFiGAN scales {5,5,4,3}) while the
+// class constructors are fully parameterized.
+//
+// Only one loaded model per process (the reference classes build their graph
+// metadata in function-local static buffers: fs2encoder.cpp:514-515,
+// stylettsdec.cpp:346-347, hifigan.cpp:223-224).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+#include "zerovox.h"
+
+namespace {
+
+struct LoadedModel
+{
+    ggml_backend_t backend = nullptr;
+    ggml_backend_buffer_t buf_w = nullptr;
+    struct ggml_context *ctx_w = nullptr;
+
+    ZeroVOX::FS2Encoder *encoder = nullptr;
+    ZeroVOX::StyleTTSDecoder *decoder = nullptr;
+    ZeroVOX::HiFiGAN *meldec = nullptr;
+
+    // geometry needed by eval() buffer contracts
+    uint32_t max_n_phonemes = 0;
+    uint32_t emb_size = 0;      // emb_dim + punct_emb_dim
+    uint32_t max_seq_len = 0;
+    uint32_t num_mels = 0;
+    uint32_t hop_size = 0;
+};
+
+LoadedModel *g_model = nullptr;
+
+void destroy(LoadedModel *m)
+{
+    if (!m)
+        return;
+    delete m->encoder;
+    delete m->decoder;
+    delete m->meldec;
+    if (m->buf_w)
+        ggml_backend_buffer_free(m->buf_w);
+    if (m->ctx_w)
+        ggml_free(m->ctx_w);
+    if (m->backend)
+        ggml_backend_free(m->backend);
+    delete m;
+}
+
+} // namespace
+
+extern "C" {
+
+// geom layout (uint32): max_n_phonemes, emb_dim, punct_emb_dim,
+//   encoder_layer, encoder_head, conv_filter_size, conv_kernel_size0,
+//   conv_kernel_size1, vp_kernel_size, ve_n_bins, max_seq_len, num_mels,
+//   hop_size, residual_dim, hifigan_kernel_size
+int zv_stages_load(const char *gguf_path,
+                   const uint32_t *geom,
+                   const int32_t *upsample_scales, int num_upsamples,
+                   const int64_t *resblock_dilations, int num_resblocks,
+                   int num_resblock_dilations)
+{
+    if (g_model)
+    {
+        destroy(g_model);
+        g_model = nullptr;
+    }
+
+    LoadedModel *m = new LoadedModel();
+    struct gguf_context *ctx_gguf = nullptr;
+    FILE *f = nullptr;
+    try
+    {
+        struct gguf_init_params params = {
+            /*.no_alloc =*/ true,
+            /*.ctx      =*/ &m->ctx_w,
+        };
+        ctx_gguf = gguf_init_from_file(gguf_path, params);
+        if (!ctx_gguf)
+            throw std::runtime_error("gguf_init_from_file failed");
+
+        m->backend = ggml_backend_cpu_init();
+        if (!m->backend)
+            throw std::runtime_error("ggml_backend_cpu_init failed");
+
+        m->buf_w = ggml_backend_alloc_ctx_tensors(m->ctx_w, m->backend);
+        if (!m->buf_w)
+            throw std::runtime_error("ggml_backend_alloc_ctx_tensors failed");
+
+        // stream tensor payloads from the file into the backend buffer
+        f = fopen(gguf_path, "rb");
+        if (!f)
+            throw std::runtime_error("fopen failed");
+        const int n_tensors = (int) gguf_get_n_tensors(ctx_gguf);
+        for (int i = 0; i < n_tensors; i++)
+        {
+            const char *name = gguf_get_tensor_name(ctx_gguf, i);
+            struct ggml_tensor *tensor = ggml_get_tensor(m->ctx_w, name);
+            if (!tensor)
+                throw std::runtime_error(std::string("tensor missing: ") + name);
+            size_t offs = gguf_get_data_offset(ctx_gguf)
+                        + gguf_get_tensor_offset(ctx_gguf, i);
+            std::vector<uint8_t> buf(ggml_nbytes(tensor));
+            if (fseek(f, (long) offs, SEEK_SET) != 0)
+                throw std::runtime_error("fseek failed");
+            if (fread(buf.data(), 1, buf.size(), f) != buf.size())
+                throw std::runtime_error("fread failed");
+            ggml_backend_tensor_set(tensor, buf.data(), 0, buf.size());
+        }
+        fclose(f);
+        f = nullptr;
+        gguf_free(ctx_gguf);
+        ctx_gguf = nullptr;
+
+        const uint32_t max_n_phonemes     = geom[0];
+        const uint32_t emb_dim            = geom[1];
+        const uint32_t punct_emb_dim      = geom[2];
+        const uint32_t encoder_layer      = geom[3];
+        const uint32_t encoder_head       = geom[4];
+        const uint32_t conv_filter_size   = geom[5];
+        uint32_t conv_kernel_size[2]      = {geom[6], geom[7]};
+        const uint32_t vp_kernel_size     = geom[8];
+        const uint32_t ve_n_bins          = geom[9];
+        const uint32_t max_seq_len        = geom[10];
+        const uint32_t num_mels           = geom[11];
+        const uint32_t hop_size           = geom[12];
+        const uint32_t residual_dim       = geom[13];
+        const uint32_t hifigan_kernel     = geom[14];
+
+        m->max_n_phonemes = max_n_phonemes;
+        m->emb_size       = emb_dim + punct_emb_dim;
+        m->max_seq_len    = max_seq_len;
+        m->num_mels       = num_mels;
+        m->hop_size       = hop_size;
+
+        m->encoder = new ZeroVOX::FS2Encoder(
+            *m->ctx_w, m->backend, max_n_phonemes, emb_dim, punct_emb_dim,
+            encoder_layer, encoder_head, conv_filter_size, conv_kernel_size,
+            vp_kernel_size, ve_n_bins, max_seq_len);
+
+        m->decoder = new ZeroVOX::StyleTTSDecoder(
+            *m->ctx_w, m->backend, max_seq_len,
+            /*dim_in=*/m->emb_size, /*style_dim=*/m->emb_size,
+            residual_dim, num_mels);
+
+        m->meldec = new ZeroVOX::HiFiGAN(
+            *m->ctx_w, m->backend, max_seq_len, num_mels, hop_size,
+            hifigan_kernel, num_upsamples, upsample_scales,
+            num_resblocks, num_resblock_dilations, resblock_dilations);
+    }
+    catch (const std::exception &e)
+    {
+        fprintf(stderr, "zv_stages_load: %s\n", e.what());
+        if (f)
+            fclose(f);
+        if (ctx_gguf)
+            gguf_free(ctx_gguf);
+        destroy(m);
+        return -1;
+    }
+
+    g_model = m;
+    return 0;
+}
+
+// Returns mel_len (frames written by the reference's host length-regulator
+// loop, fs2encoder.cpp:594-655), or UINT32_MAX on error.
+// x: max_seq_len * (emb_dim + punct_emb_dim) floats (zero-padded tail).
+uint32_t zv_stages_encoder(const int32_t *src_seq, const int32_t *puncts,
+                           const float *style_embed, uint32_t num_phonemes,
+                           float *x)
+{
+    if (!g_model || !g_model->encoder)
+        return UINT32_MAX;
+    try
+    {
+        return g_model->encoder->eval(src_seq, puncts, style_embed,
+                                      num_phonemes, x);
+    }
+    catch (const std::exception &e)
+    {
+        fprintf(stderr, "zv_stages_encoder: %s\n", e.what());
+        return UINT32_MAX;
+    }
+}
+
+// hidden: max_seq_len * emb_size; mel out: max_seq_len * num_mels
+// (stylettsdec.cpp:457-470)
+int zv_stages_decoder(const float *hidden, const float *spk_emb, float *mel)
+{
+    if (!g_model || !g_model->decoder)
+        return -1;
+    try
+    {
+        g_model->decoder->eval(hidden, spk_emb, mel);
+        return 0;
+    }
+    catch (const std::exception &e)
+    {
+        fprintf(stderr, "zv_stages_decoder: %s\n", e.what());
+        return -1;
+    }
+}
+
+// mel: max_seq_len * num_mels; wav out: max_seq_len * hop_size
+// (hifigan.cpp:358-377)
+int zv_stages_hifigan(const float *mel, float *wav)
+{
+    if (!g_model || !g_model->meldec)
+        return -1;
+    try
+    {
+        g_model->meldec->eval(mel, wav);
+        return 0;
+    }
+    catch (const std::exception &e)
+    {
+        fprintf(stderr, "zv_stages_hifigan: %s\n", e.what());
+        return -1;
+    }
+}
+
+void zv_stages_free(void)
+{
+    destroy(g_model);
+    g_model = nullptr;
+}
+
+} // extern "C"
