@@ -125,24 +125,24 @@ class TTSEngine:
         return self.batch_ladder[-1]
 
     def warmup(self, batch: int = 1, pcm16: bool = False):
-        """Compile every program serving can hit: the front at `batch`, and
-        the vocoder at each bucket for batch `batch` (synthesize) and for
-        each ladder size <= ladder_size(batch) (synthesize_packed groups).
+        """Compile every program serving can hit for batches up to `batch`:
+        the front and the vocoder (at each bucket) at every ladder size
+        <= ladder_size(batch).  Both paths only ever run at ladder sizes
+        (_dispatch_front pads/splits to the ladder), so this covers ALL
+        request batch sizes once batch >= the ladder top.
         pcm16=True additionally warms the int16-output variants."""
         cfg = self.cfg
-        src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
-        style = jnp.zeros((batch, cfg.d_model), jnp.float32)
-        mel, _ = self._front(self.params, src, src, style,
-                             jnp.zeros((batch,), jnp.int32))
-        sizes = {batch} | {s for s in self.batch_ladder
-                           if s <= self.ladder_size(batch)}
+        sizes = sorted(s for s in self.batch_ladder
+                       if s <= self.ladder_size(batch))
         variants = (False, True) if pcm16 else (False,)
-        for b in self.mel_buckets:
-            for s in sorted(sizes):
-                mel_s = mel[:s] if s <= batch else jnp.concatenate(
-                    [mel] * (-(-s // batch)), axis=0)[:s]
+        for s in sizes:
+            src = jnp.zeros((s, cfg.max_n_phonemes), jnp.int32)
+            style = jnp.zeros((s, cfg.d_model), jnp.float32)
+            mel, _ = self._front(self.params, src, src, style,
+                                 jnp.zeros((s,), jnp.int32))
+            for b in self.mel_buckets:
                 for v in variants:
-                    self._back_fn(b, v)(self.params, mel_s[:, :b])
+                    self._back_fn(b, v)(self.params, mel[:, :b])
 
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,
@@ -165,9 +165,13 @@ class TTSEngine:
         at the bucket of its longest utterance; for mixed-length batches use
         synthesize_packed(), which routes each bucket group separately.
         """
+        B0 = jnp.asarray(src_seq).shape[0]
         if single_rtt is None:
-            single_rtt = jnp.asarray(src_seq).shape[0] == 1
-        if single_rtt:
+            single_rtt = B0 == 1
+        # the one-fetch trick needs the whole batch in ONE vocoder dispatch;
+        # off-ladder batches fall through to the ladder-split path (compile
+        # keys stay bounded; the extra RTTs only hit unusual batch sizes)
+        if single_rtt and B0 in self.batch_ladder:
             mel, mel_len = self._dispatch_front(
                 src_seq, puncts, style_embed, num_phonemes)
             bucket = self.mel_buckets[-1]
@@ -188,8 +192,7 @@ class TTSEngine:
         bucket = (self.pick_bucket(int(mel_len_h.max()) if B else 0)
                   if trim else self.mel_buckets[-1])
 
-        wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
-        wav_h = self._host_wav(jax.device_get(wav), pcm16)
+        wav_h = self._vocode_ladder(mel, bucket, pcm16)
         return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
     def synthesize_packed(self, src_seq, puncts, style_embed,
@@ -236,24 +239,74 @@ class TTSEngine:
     # ---------------------------------------------------------------- helpers
     def _dispatch_front(self, src_seq, puncts, style_embed, num_phonemes):
         """Dispatch the front program; returns DEVICE (mel, mel_len) with no
-        host fetch (the single-RTT path fetches mel_len with the wav)."""
+        host fetch (the single-RTT path fetches mel_len with the wav).
+
+        The raw batch is padded (rows repeated) up to the engine's
+        batch_ladder — and split into ladder-top chunks first when larger —
+        exactly like the vocoder groups in synthesize_packed: a request with
+        an arbitrary utterance count must never mint a fresh front XLA
+        program (a multi-minute first-compile on the tunnel).  Front compile
+        keys are therefore bounded at len(batch_ladder), all covered by
+        warmup()."""
         cfg = self.cfg
         src_seq = jnp.asarray(src_seq, jnp.int32)
         puncts = jnp.asarray(puncts, jnp.int32)
         style_embed = jnp.asarray(style_embed, jnp.float32)
         B = src_seq.shape[0]
+        if B == 0:
+            raise ValueError("empty batch")
         if num_phonemes is None:
             num_phonemes = jnp.full((B,), cfg.max_n_phonemes, jnp.int32)
         else:
             num_phonemes = jnp.asarray(num_phonemes, jnp.int32)
-        return self._front(self.params, src_seq, puncts,
-                           style_embed, num_phonemes)
+        top = self.batch_ladder[-1]
+        if B in self.batch_ladder:            # fast path: no index shuffle
+            return self._front(self.params, src_seq, puncts,
+                               style_embed, num_phonemes)
+        mels, lens = [], []
+        for c0 in range(0, B, top):
+            n = min(top, B - c0)
+            size = self.ladder_size(n)
+            idx = jnp.asarray(list(range(c0, c0 + n))
+                              + [c0] * (size - n), jnp.int32)
+            mel_c, len_c = self._front(
+                self.params, jnp.take(src_seq, idx, axis=0),
+                jnp.take(puncts, idx, axis=0),
+                jnp.take(style_embed, idx, axis=0),
+                jnp.take(num_phonemes, idx, axis=0))
+            mels.append(mel_c[:n])
+            lens.append(len_c[:n])
+        if len(mels) == 1:
+            return mels[0], lens[0]
+        return jnp.concatenate(mels, axis=0), jnp.concatenate(lens, axis=0)
 
     def _run_front(self, src_seq, puncts, style_embed, num_phonemes):
         mel, mel_len = self._dispatch_front(
             src_seq, puncts, style_embed, num_phonemes)
         mel_len_h = np.asarray(jax.device_get(mel_len))
         return mel, mel_len_h
+
+    def _vocode_ladder(self, mel, bucket: int, pcm16: bool) -> np.ndarray:
+        """Vocoder dispatch at `bucket` with ladder-bounded batch compile
+        keys: the device mel batch is split into ladder-top chunks and each
+        padded (rows repeated) to a ladder size, like the groups in
+        synthesize_packed.  Returns the host waveform for the original
+        batch."""
+        B = mel.shape[0]
+        if B in self.batch_ladder:             # fast path: no index shuffle
+            wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
+            return self._host_wav(jax.device_get(wav), pcm16)
+        top = self.batch_ladder[-1]
+        outs = []
+        for c0 in range(0, B, top):
+            n = min(top, B - c0)
+            size = self.ladder_size(n)
+            idx = jnp.asarray(list(range(c0, c0 + n))
+                              + [c0] * (size - n), jnp.int32)
+            mel_g = jnp.take(mel, idx, axis=0)
+            wav = self._back_fn(bucket, pcm16)(self.params, mel_g[:, :bucket])
+            outs.append(self._host_wav(jax.device_get(wav), pcm16)[:n])
+        return np.concatenate(outs, axis=0)
 
     @staticmethod
     def _host_wav(wav_h, pcm16: bool) -> np.ndarray:

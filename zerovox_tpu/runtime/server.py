@@ -40,6 +40,10 @@ from ..config import ZeroVoxConfig
 from ..io.wav import float_to_pcm16, _wav_header
 
 
+class RequestTooLarge(ValueError):
+    """Request body exceeds the server's cap (HTTP 413)."""
+
+
 def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                    np.ndarray]:
@@ -64,7 +68,12 @@ def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
     if style.shape[1] != cfg.d_model:
         raise ValueError(f"style embedding has {style.shape[1]} dims, "
                          f"model wants {cfg.d_model}")
-    n = min(len(ph), P)
+    if len(ph) > P:
+        # silently truncating over HTTP would return shortened audio with a
+        # 200; the CLI splits long inputs itself, a client must too
+        raise ValueError(f"{len(ph)} phonemes exceeds the model's "
+                         f"max_n_phonemes={P}; split the utterance")
+    n = len(ph)
     src = np.zeros((1, P), np.int32)
     pun = np.zeros((1, P), np.int32)
     src[0, :n] = ph[:n]
@@ -80,10 +89,15 @@ class TTSServer:
                  precision: str = "float32",
                  mel_buckets: Sequence[int] = (256, 512, 1024),
                  chunk_frames: int = 64, overlap: int = 16,
-                 warmup: bool = True):
+                 warmup: bool = True,
+                 max_body_bytes: int = 4 << 20, max_batch: int = 64):
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
+        # input caps: a single oversized request must not exhaust host
+        # memory or mint unbounded device work on a production server
+        self.max_body_bytes = int(max_body_bytes)
+        self.max_batch = int(max_batch)
         self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
                                 precision=precision)
         # the engine may have cast params/cfg for bf16 serving; the
@@ -96,8 +110,13 @@ class TTSServer:
         if warmup:
             # /synthesize serves the device-quantised int16 variants: the
             # PCM16 fetch halves the host-transfer bytes, which dominate
-            # one-shot latency (engine._back_fn docstring)
-            self.engine.warmup(pcm16=True)
+            # one-shot latency (engine._back_fn docstring).  Warm at the
+            # ladder TOP so every front + vocoder program any /batch mix can
+            # hit is compiled before the first request (ADVICE r3: warming
+            # only batch=1 left the first multi-utterance request paying the
+            # multi-minute tunnel first-compile the ladder exists to avoid).
+            self.engine.warmup(batch=self.engine.batch_ladder[-1],
+                               pcm16=True)
             self.stream.warmup()
 
         server = self
@@ -131,6 +150,10 @@ class TTSServer:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     raise ValueError("empty request body")
+                if length > server.max_body_bytes:
+                    raise RequestTooLarge(
+                        f"request body {length} bytes exceeds the "
+                        f"{server.max_body_bytes}-byte cap")
                 return json.loads(self.rfile.read(length))
 
             def _read_utterance(self):
@@ -168,7 +191,19 @@ class TTSServer:
                         # the client sees a truncated (invalid) stream
                         self.close_connection = True
                         return
-                    return self._json(400, {"error": str(e)})
+                    code = 413 if isinstance(e, RequestTooLarge) else 400
+                    if code == 413:
+                        # the oversized body was never read; drop the
+                        # connection after responding rather than parsing
+                        # the leftover bytes as the next request
+                        self.close_connection = True
+                    return self._json(code, {"error": str(e)})
+                except OSError:
+                    # client went away mid-response (BrokenPipe on a /stream
+                    # chunk write, reset, timeout): close quietly instead of
+                    # killing the handler thread with a traceback
+                    self.close_connection = True
+                    return
 
             def _synthesize(self, url):
                 src, pun, style, n = self._read_utterance()
@@ -188,6 +223,10 @@ class TTSServer:
                 utts = self._read_json().get("utterances")
                 if not isinstance(utts, list) or not utts:
                     raise ValueError("need a non-empty 'utterances' list")
+                if len(utts) > server.max_batch:
+                    raise ValueError(
+                        f"{len(utts)} utterances exceeds the per-request "
+                        f"cap of {server.max_batch}")
                 cfg = server.engine.cfg
                 parsed = [utterance_from_dict(u, cfg) for u in utts]
                 src = np.concatenate([p[0] for p in parsed])
