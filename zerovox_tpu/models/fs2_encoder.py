@@ -92,12 +92,14 @@ def encode(params: dict, cfg: ZeroVoxConfig,
 
     log_duration = variance_predictor(features, enc["duration_predictor"], cfg)
 
-    pitch = variance_predictor(features, enc["pitch_predictor"], cfg)
+    pitch = tap("pitch", variance_predictor(features, enc["pitch_predictor"],
+                                            cfg))
     pitch_emb = enc["pitch_emb"][bucketize(pitch, cfg.ve_n_bins)].astype(x.dtype)
     features = features + pitch_emb
 
     # energy is predicted on the pitch-updated features (src/fs2encoder.cpp:571-578)
-    energy = variance_predictor(features, enc["energy_predictor"], cfg)
+    energy = tap("energy", variance_predictor(features,
+                                              enc["energy_predictor"], cfg))
     energy_emb = enc["energy_emb"][bucketize(energy, cfg.ve_n_bins)].astype(x.dtype)
     features = features + energy_emb
 
