@@ -84,6 +84,24 @@ def test_instance_norm_vs_torch(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_one_pass_norm_large_mean_parity(rng):
+    """ADVICE r3: the bf16 serving path's one-pass variance E[x^2]-E[x]^2
+    loses precision as mean^2/var grows; jnp.maximum(var, 0) would hide a
+    regression as silently-wrong audio.  Pin the one-pass form against the
+    two-pass (f32 parity) form on x ~ N(100, 1) — a 1e4 cancellation ratio,
+    far beyond anything a sane checkpoint produces."""
+    B, T, C = 2, 64, 8
+    x32 = (rng.normal(size=(B, T, C)) + 100.0).astype(np.float32)
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+    # one-pass (bf16 input path) vs two-pass on the SAME bf16-rounded data
+    got = instance_norm(xb).astype(jnp.float32)
+    ref = instance_norm(jnp.asarray(xb, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.02)
+    # and the normalized output must actually be ~N(0,1), not collapsed
+    assert abs(float(np.asarray(got).std()) - 1.0) < 0.1
+
+
 def test_bucketize_matches_reference_custom_op():
     """Mirror of ggml_zv_mul_clamp_to_i32 (/root/reference/src/fs2encoder.cpp:442-474)."""
     n_bins = 16

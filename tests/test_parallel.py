@@ -119,6 +119,58 @@ def test_train_grad_with_pallas_selecting_backend(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_fit_epoch_driver(rng, tmp_path):
+    """training.fit mirrors ggml_opt_fit (/root/reference/ggml/src/
+    ggml-opt.cpp:779-843): epoch loop over an in-memory dataset with a
+    shuffled train region, a trailing validation split run loss-only, and
+    a checkpoint cadence — exercised on the virtual mesh at TINY."""
+    from zerovox_tpu.training import TrainBatch, fit, make_eval_fn
+    from zerovox_tpu.training.checkpoint import CheckpointManager
+    from zerovox_tpu.parallel import make_mesh
+
+    N = 10
+    params = init_params(CFG, seed=1)
+    src, pun, style = _batch_inputs(rng, N)
+    data = TrainBatch(
+        src_seq=src, puncts=pun, style_embed=style,
+        num_phonemes=jnp.full((N,), CFG.max_n_phonemes, dtype=jnp.int32),
+        durations=jnp.asarray(rng.integers(1, 4, size=(N, CFG.max_n_phonemes)),
+                              dtype=jnp.int32),
+        mel_target=jnp.asarray(
+            rng.normal(size=(N, CFG.max_seq_len, CFG.num_mels)), jnp.float32),
+        wav_target=jnp.asarray(
+            rng.normal(scale=0.1, size=(N, CFG.wav_len)), jnp.float32),
+    )
+
+    res = ((128, 15, 60),)
+    mesh = make_mesh(data=2, model=4)
+    state, step = make_sharded_train_step(CFG, mesh, params,
+                                          stft_resolutions=res)
+    eval_fn = make_eval_fn(CFG, mesh, stft_resolutions=res)
+
+    calls = []
+    with CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2) as ckpt:
+        state, history = fit(
+            state, step, data, batch_size=2, epochs=2, val_split=0.2,
+            eval_fn=eval_fn, seed=3, checkpoint_manager=ckpt,
+            checkpoint_every=3,
+            callback=lambda train, ep, ib, nb, loss: calls.append(
+                (train, ep, ib, nb)))
+        # 5 batches/epoch: 4 train + 1 val, 2 epochs -> 8 optimizer steps
+        assert int(state.step) == 8
+        assert [h["epoch"] for h in history] == [1, 2]
+        for h in history:
+            assert np.isfinite(h["train_loss"]) and h["train_loss_unc"] >= 0
+            assert np.isfinite(h["val_loss"])
+        assert calls.count((True, 1, 1, 4)) == 1
+        assert calls.count((False, 2, 1, 1)) == 1
+        assert ckpt.latest_step() == 6      # cadence 3 over 8 steps: 3, 6
+
+    l0 = jax.tree.leaves(params)[0]
+    l1 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
 def test_pipeline_placement_matches_single_device(rng):
     """Two-device stage placement (parallel.pipeline) must reproduce the
     single-device pipeline output."""

@@ -99,6 +99,12 @@ def train_step(state: TrainState, batch: TrainBatch, cfg: ZeroVoxConfig,
     return TrainState(params, opt_state, state.step + 1), losses
 
 
+def _batch_shardings(mesh: Mesh):
+    """TrainBatch tree of data-axis shardings (batch DP)."""
+    return jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)),
+                        TrainBatch(*([0] * len(TrainBatch._fields))))
+
+
 def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
                             optimizer: Optional[optax.GradientTransformation] = None,
                             use_tp: bool = True, use_stft: bool = True,
@@ -120,8 +126,7 @@ def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
     state = TrainState(params, opt_state,
                        jax.device_put(jnp.zeros((), jnp.int32), sh(P())))
 
-    batch_sharding = jax.tree.map(lambda _: sh(P(DATA_AXIS)),
-                                  TrainBatch(*([0] * len(TrainBatch._fields))))
+    batch_sharding = _batch_shardings(mesh)
 
     step = jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer, use_stft=use_stft,
