@@ -289,19 +289,74 @@ def test_in_kernel_upsample_matches_xla_grouped(rng, s, Cin, ing, in_leaky):
                                atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("scales,C0,L,expect", [
-    ((5, 3), 128, 60, "grouped a=2, ing=5 then the ing=3 XLA regroup"),
-    ((2, 4), 64, 64, "grouped ing=1 then fused-up"),
-    ((3, 5), 256, 60, "fused-up then grouped ing=5"),
-    ((4, 2), 256, 48, "fused-up at two fold depths"),
-    ((2, 2), 16, 64, "sub-128-lane chains: the XLA-folded fallback gate"),
+@pytest.mark.parametrize("s,rho_in,g,in_leaky", [
+    (4, 1, 2, None),     # a=2, ing=1 (g*s*C == 128)
+    (4, 1, 2, 0.1),
+    (3, 4, 8, None),     # a=2, ing=3 — the production stage-4 shape
+    (3, 2, 8, None),     # a=4, ing=3
 ])
-def test_vocode_geometry_sweep(rng, scales, C0, L, expect):
-    """Every vocoder dispatch path (fused in-kernel upsample, grouped rows
-    at a>1 incl. the ing=3 regroup, plain kernel, and the rho*C < 128
-    Mosaic-gate fallback) must agree with the XLA folded reference across
-    non-production geometries — the r3 serve-on-TPU incident showed the
-    config space beyond the production model was under-covered."""
+def test_in_kernel_upsample_a_grouped(rng, s, rho_in, g, in_leaky):
+    """The a > 1 fused upsample (r4: the a-grouped-reshape trick inside the
+    kernel, VERDICT r3 #5) must reproduce the two-step XLA path on the SAME
+    source activation: conv_transpose1d_grouped(rho_in, g) followed by
+    folded_mrf_stage(in_group) == folded_mrf_stage(a-grouped input,
+    upsample=dict(g=g))."""
+    from zerovox_tpu.ops import leaky_relu
+    from zerovox_tpu.ops.conv import conv_transpose1d_grouped, fold
+
+    params = init_params(CFG, seed=0)
+    C, rho = 16, 8                      # stage-0 blocks: chain lanes 128
+    Cin = 16
+    a = g // rho_in
+    assert a > 1
+    ing = g * s // rho
+    assert ing * rho == g * s
+    R = 96                              # rho_in-folded source rows
+    L_src = R * rho_in
+    x = jnp.asarray(rng.normal(size=(2, R, rho_in * Cin)), jnp.float32)
+    w_up = jnp.asarray(rng.normal(size=(2 * s, Cin, C)) * 0.2, jnp.float32)
+    b_up = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    blocks, _ = _stage(params, 0, fold(jnp.zeros((1, L_src * s, C)), rho),
+                       rho)
+
+    xin = x if in_leaky is None else leaky_relu(x, in_leaky)
+    y = conv_transpose1d_grouped(xin, w_up, b_up, stride=s,
+                                 padding=s // 2 + s % 2,
+                                 output_padding=s % 2, rho_in=rho_in, g=g)
+    if ing == 3:
+        y = y.reshape(y.shape[0], -1, y.shape[-1] // ing)   # XLA regroup
+    ref = folded_mrf_stage(y, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=48,
+                           in_group=1 if ing == 3 else ing)
+
+    xg = x.reshape(x.shape[0], R // a, a * rho_in * Cin)    # a-grouped
+    got = folded_mrf_stage(
+        xg, blocks, CFG.resblock_dilations, CFG.resblock_kernel_size, rho,
+        t_blk=48, in_group=ing, in_bias=b_up,
+        upsample=dict(w=w_up, stride=s, padding=s // 2 + s % 2,
+                      output_padding=s % 2, rho_in=rho_in, g=g,
+                      in_leaky=in_leaky))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("scales,C0,L,fuse_a,expect", [
+    ((5, 3), 128, 60, False, "grouped a=2, ing=5 then the ing=3 XLA regroup"),
+    ((2, 4), 64, 64, False, "grouped ing=1 then fused-up"),
+    ((3, 5), 256, 60, False, "fused-up then grouped ing=5"),
+    ((4, 2), 256, 48, False, "fused-up at two fold depths"),
+    ((2, 2), 16, 64, False, "sub-128-lane chains: the XLA-folded fallback gate"),
+    ((5, 3), 128, 60, True, "a=2 fused upsamples at ing=5 and ing=3"),
+    ((5, 5, 4, 3), 512, 8, True,
+     "the full production structure with the a=2 stage-4 fusion on"),
+])
+def test_vocode_geometry_sweep(rng, scales, C0, L, fuse_a, expect):
+    """Every vocoder dispatch path (fused in-kernel upsample at a == 1 and,
+    behind vocoder_fuse_a_upsample, at a > 1; grouped rows at a>1 incl. the
+    ing=3 regroup; plain kernel; and the rho*C < 128 Mosaic-gate fallback)
+    must agree with the XLA folded reference across non-production
+    geometries — the r3 serve-on-TPU incident showed the config space
+    beyond the production model was under-covered."""
     import dataclasses
     from zerovox_tpu.models.hifigan import vocode
 
@@ -311,6 +366,7 @@ def test_vocode_geometry_sweep(rng, scales, C0, L, expect):
         upsample_scales=tuple(scales),
         upsample_kernel_sizes=tuple(2 * s for s in scales),
         hop_size=int(np.prod(scales)),
+        vocoder_fuse_a_upsample=fuse_a,
         max_seq_len=L)
     params = init_params(cfg, seed=0)
     mel = jnp.asarray(rng.normal(size=(2, L, cfg.num_mels)), jnp.float32)

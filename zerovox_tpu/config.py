@@ -75,6 +75,14 @@ class ZeroVoxConfig:
     # Measured v5e (r2 slice-based kernel): MRF stages 0.22/0.41/1.06/1.37 ms
     # vs XLA folded ~0.39/0.64+/... — see docs/ARCHITECTURE.md §11.
     vocoder_backend: str = "auto"
+    # Fuse the a > 1 grouped upsample (production stage 4, a = 2) into the
+    # MRF kernel too: the pre-upsample activation is a-grouped by ONE XLA
+    # row-major reshape and the transpose-conv runs as lane-sliced dots
+    # in-kernel, replacing the XLA strided conv + its output regroup
+    # reshape + the custom-call boundary layout copies.  Experimental until
+    # measured in-pipeline on v5e (ARCHITECTURE §11 seventh finding);
+    # numerics pinned by tests either way.  a == 1 stages always fuse.
+    vocoder_fuse_a_upsample: bool = False
 
     # ------------------------------------------------------------------ derived
     @property

@@ -10,6 +10,7 @@ zerovox_tpu.ops.conv.conv_transpose1d) feeding the MXU directly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import ZeroVoxConfig
@@ -136,7 +137,6 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
         # measured v5e full vocoder: pallas (fused stages) vs folded-XLA vs
         # native: 4.3 / 20.7 / 33 ms; interpret-mode pallas is slow, so CPU
         # keeps the folded XLA path
-        import jax
         backend = "pallas" if jax.default_backend() == "tpu" else "folded"
 
     cur_rho = 1   # timesteps per row of c's current layout (1 = unfolded)
@@ -169,20 +169,39 @@ def vocode(params: dict, cfg: ZeroVoxConfig, mel: jnp.ndarray) -> jnp.ndarray:
             # ~1.5 ms of pure data movement per run at production geometry)
             g = _grouped_g(scale, C_stage, max(rho, 1), cur_rho,
                            c.shape[1] * cur_rho, up["w"].shape[0])
-        if g == cur_rho and g:
-            # a == 1: the upsample itself runs INSIDE the MRF kernel (its
+        a = g // cur_rho if g else 0
+        if a > 1 and not (
+                cfg.vocoder_fuse_a_upsample
+                # lane slices of the a-grouped window sit at multiples of
+                # rho_in*Cin — Mosaic wants lane-tile (128) alignment on
+                # real TPUs (production stage 4: 2*64 = 128 ✓); interpret
+                # mode has no such restriction
+                and (cur_rho * up["w"].shape[1] % 128 == 0
+                     or jax.default_backend() != "tpu")):
+            a = 0
+        if a:
+            # the upsample itself runs INSIDE the MRF kernel (its
             # transpose-conv becomes n_up sliced dots on the fetched
             # PRE-upsample window, the B=1 XLA path's math) — the upsampled
             # activation never exists in HBM, removing the XLA upsample
             # conv, its bias pass, and the custom-call boundary layout
-            # copies for stages 1-3 (ARCHITECTURE §3g)
+            # copies (ARCHITECTURE §3g).  a == 1 (stages 1-3): the producing
+            # stage's folded layout is consumed as-is.  a > 1 (stage 4,
+            # a = 2): ONE XLA row-major reshape pre-groups a source rows per
+            # fetched row, and each transpose-conv delta reads a contiguous
+            # row + lane slice (the a-grouped-reshape trick, conv.py:405-418)
+            # — replacing the XLA strided conv AND its 1.5x-larger output
+            # regroup reshape (§11 seventh finding).
+            xg = c if a == 1 else c.reshape(c.shape[0], c.shape[1] // a,
+                                            a * c.shape[2])
             c = folded_mrf_stage(
-                c, stage_blocks, cfg.resblock_dilations,
+                xg, stage_blocks, cfg.resblock_dilations,
                 cfg.resblock_kernel_size, rho,
                 in_group=g * scale // max(rho, 1),
                 upsample=dict(w=up["w"], stride=scale,
                               padding=scale // 2 + scale % 2,
                               output_padding=scale % 2, rho_in=cur_rho,
+                              g=g,
                               in_leaky=None if act_done else 0.1),
                 in_bias=up["b"],
                 out_leaky=0.01 if last else 0.1)

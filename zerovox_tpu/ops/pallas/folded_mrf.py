@@ -14,9 +14,10 @@ dense (128, 128) MXU matmuls (the statically scattered, phase-shifted
 W_delta of conv1d_folded); shifted reads are SHRINKING-WINDOW STATIC
 SLICES of the VMEM tile (the r1 roll formulation was VPU-shuffle-bound),
 with the halo sized to the stage's cumulative receptive field and per-tile
-edge-branch DMA over the unpadded input.  For a == 1 stages the preceding
-transpose-conv upsample runs in-kernel too (`upsample=`), so the upsampled
-activation never exists in HBM.
+edge-branch DMA over the unpadded input.  The preceding transpose-conv
+upsample runs in-kernel too (`upsample=`), so the upsampled activation
+never exists in HBM: a == 1 stages read consecutive fetched rows, a > 1
+stages read the a-grouped-reshape layout (contiguous row + lane slices).
 
 Reference counterpart: the per-node CPU kernels + barrier loop of
 ggml_graph_compute (/root/reference/ggml/src/ggml-cpu/ggml-cpu.c:13568-13820)
@@ -347,17 +348,27 @@ def _mrf_kernel(*refs,
     # operands inside conv()
     cdtype = jnp.float32
     if up_sched is not None:
-        # in-kernel upsample (a == 1 stages): the window holds PRE-upsample
-        # rows (1 pre row -> in_group chain rows); run the transpose-conv as
-        # n_d contiguous sliced dots (the B=1 XLA path's math,
+        # in-kernel upsample: the window holds PRE-upsample rows (1 fetched
+        # row = g source timesteps -> in_group chain rows); run the
+        # transpose-conv as n_d sliced dots (the B=1 XLA path's math,
         # conv.py conv_transpose1d_grouped) and regroup in VMEM — the
         # upsampled activation never exists in HBM, so the XLA upsample
         # conv, its boundary layout copies, and the kernel's own larger
         # input DMA all disappear for these stages.
-        n_up, j0, R_pre, _rl_pad, in_leaky = up_sched
+        #
+        # a == 1 stages (g == rho_in) read consecutive rows.  a > 1 stages
+        # (production stage 4: a = 2) read row stride a, expressed via the
+        # a-GROUPED-RESHAPE trick of the B=1 XLA path (conv.py:405-418):
+        # the HBM input arrives pre-grouped to a*rc lanes per row, and
+        # x_rows[a*Q + d] is the CONTIGUOUS lane slice
+        # xg[Q + (d//a), (d%a)*rc : +rc] — each delta's operand is a static
+        # row slice + lane-tile-aligned lane slice, no strided sublane read
+        # and no (Mosaic-rejected) sublane->lane reshape.
+        offs, rc_up, R_pre, _rl_pad, in_leaky = up_sched
         win_up = window // in_group
         xw = x_vmem[slot].astype(cdtype)
         # zero beyond-edge pre rows: the transpose conv zero-pads its input
+        # (whole-row validity: the grouping is by whole source rows)
         row = jax.lax.broadcasted_iota(jnp.int32, (xw.shape[0], 1), 0)
         gpre = t * tb_f - halo_f + row
         xw = jnp.where(jnp.logical_and(gpre >= 0, gpre < R_pre), xw,
@@ -369,8 +380,8 @@ def _mrf_kernel(*refs,
         if dot_bf16:
             xw = xw.astype(jnp.bfloat16)
         acc_up = None
-        for di in range(n_up):
-            sl = xw[j0 + di: j0 + di + win_up]
+        for di, (ro, lo) in enumerate(offs):
+            sl = xw[ro: ro + win_up, lo: lo + rc_up]
             w = w_up_ref[di]
             if not dot_bf16:
                 w = w.astype(cdtype)
@@ -454,17 +465,22 @@ def folded_mrf_stage(xf: jnp.ndarray,
     upsample and its MRF stage.  Output stays ungrouped (B, nblk, lanes).
 
     upsample (a dict: w (K, Cin, Cout) flipped transpose kernel, stride,
-    padding, output_padding, rho_in, in_leaky) runs the preceding
-    ConvTranspose1d INSIDE the kernel for a == 1 geometries (g == rho_in,
-    i.e. in_group * rho == rho_in * stride): xf is then the PRE-upsample
-    activation (B, R_pre, rho_in*Cin), the fetch window extends by the
-    transpose-conv's delta span (asymmetric halo), and the upsample is
-    n_up contiguous sliced dots (conv_transpose1d_grouped's B=1 math)
-    followed by the in-VMEM regroup — the upsampled activation never
-    exists in HBM.  in_leaky applies the pre-upsample leaky-relu in-kernel
-    when the producing stage didn't fuse it.  Pass the upsample bias via
-    in_bias (it lands after the regroup, where the lane pattern is the
-    same tile(b, rho) as every conv bias).
+    padding, output_padding, rho_in, optional g (default rho_in), in_leaky)
+    runs the preceding ConvTranspose1d INSIDE the kernel: xf is then the
+    PRE-upsample activation grouped to g source timesteps per row
+    (B, L_src/g, g*Cin) — for a = g/rho_in == 1 that is the producing
+    stage's own folded layout; for a > 1 (production stage 4) the caller
+    pre-groups with one XLA row-major reshape, and every delta's operand
+    becomes a contiguous row slice + lane slice of the fetched window (the
+    a-grouped-reshape trick of conv_transpose1d_grouped's B=1 path,
+    conv.py:405-418) — no strided sublane read, no sublane->lane reshape.
+    The fetch window extends by the transpose-conv's row reach (asymmetric
+    halo) and the upsample is n_up sliced dots followed by the in-VMEM
+    regroup — the upsampled activation never exists in HBM.  in_leaky
+    applies the pre-upsample leaky-relu in-kernel when the producing stage
+    didn't fuse it.  Pass the upsample bias via in_bias (it lands after
+    the regroup, where the lane pattern is the same tile(b, rho) as every
+    conv bias).
 
     in_bias (a (C,) vector) is added to the loaded input window before the
     chain runs — the preceding upsample's bias, whose unfused XLA add was a
@@ -508,15 +524,22 @@ def folded_mrf_stage(xf: jnp.ndarray,
     B, nrows_in, lanes_in = xf.shape
     nblk = nrows_in * in_group
     if upsample is not None:
-        # xf is the PRE-upsample activation: (B, R_pre, rho_in*Cin) with
-        # a = g/rho_in == 1 (1 pre row -> in_group chain rows); the
-        # upsampled activation never exists outside the kernel
+        # xf is the PRE-upsample activation, grouped to g source timesteps
+        # per row: (B, R_pre/a, g*Cin) where g = a*rho_in (for a == 1 that
+        # is the producing stage's own rho_in-folded layout; for a > 1 the
+        # caller pre-groups with ONE XLA row-major reshape of the a-times-
+        # smaller pre-upsample activation).  1 fetched row -> in_group
+        # chain rows; the upsampled activation never exists outside the
+        # kernel.
         K_up, Cin_up, Cout_up = upsample["w"].shape
-        g_up = upsample["rho_in"]
+        rho_in_up = upsample["rho_in"]
+        g_up = upsample.get("g", rho_in_up)
         s_up = upsample["stride"]
+        assert g_up % rho_in_up == 0, (g_up, rho_in_up)
+        a_up = g_up // rho_in_up
         assert lanes_in == g_up * Cin_up, (lanes_in, g_up, Cin_up)
         assert in_group * max(rho, 1) == g_up * s_up, \
-            "in_group must be g*stride/rho with g == rho_in (a == 1)"
+            "in_group must be g*stride/rho"
         L_up = transpose_out_len(nrows_in * g_up, s_up, K_up,
                                  upsample["padding"],
                                  upsample["output_padding"])
@@ -600,18 +623,24 @@ def folded_mrf_stage(xf: jnp.ndarray,
         assert not contract, "in-kernel upsample + contract mode unsupported"
         d_lo, w_up = build_wtranspose_grouped(
             upsample["w"], upsample["stride"], upsample["padding"],
-            g_up, g_up)
+            g_up, rho_in_up)
         n_up = w_up.shape[0]
-        # x_up window row j reads pre rows j + d_lo .. j + d_lo + n_up - 1;
-        # pad the fetch window (sublane-aligned) to cover that reach
-        rl = max(0, -d_lo)
-        rr = max(0, d_lo + n_up - 1)
+        # output row Q reads rho_in-folded source rows a*Q + d_lo + d; in
+        # the a-grouped fetched layout that is row Q + (d_lo+d)//a, lane
+        # slice ((d_lo+d)%a)*rc (floor semantics keep negative rows in the
+        # left halo).  For a == 1 this degenerates to consecutive rows at
+        # lane 0.  Pad the fetch window (sublane-aligned) to the row reach.
+        rc_up = rho_in_up * Cin_up
+        qs = [(d_lo + d) // a_up for d in range(n_up)]
+        ps = [(d_lo + d) % a_up for d in range(n_up)]
+        rl = max(0, -min(qs))
+        rr = max(0, max(qs))
         rl_pad = -(-rl // sublane) * sublane
         rr_pad = -(-rr // sublane) * sublane
         t_blk = max(t_blk, halo + rl_pad * in_group)
         t_blk = -(-t_blk // unit) * unit
-        up_sched = (n_up, rl_pad + d_lo, nrows_in, rl_pad,
-                    upsample.get("in_leaky"))
+        up_sched = (tuple((rl_pad + q, p * rc_up) for q, p in zip(qs, ps)),
+                    rc_up, nrows_in, rl_pad, upsample.get("in_leaky"))
     n_tiles = -(-nblk // t_blk)
 
     # the input is consumed UNPADDED: per-tile DMA branches clip the halo
