@@ -1,0 +1,157 @@
+"""Serving-daemon latency benchmark: /synthesize p50 and /stream TTFA p50
+measured end-to-end over a live socket against a warm TTSServer.
+
+The r3 daemon numbers (/synthesize p50 82.8 ms pre-PCM16, /stream TTFB
+39.9 ms) were measured ad hoc; this script makes the measurement one
+command so every round can re-anchor docs/ARCHITECTURE.md §13 (and so the
+post-PCM16 /synthesize projection gets replaced by a measurement, VERDICT
+r3 weak #3).
+
+Prints ONE JSON line, e.g.:
+  {"synthesize_p50_ms": ..., "synthesize_min_ms": ...,
+   "stream_ttfa_p50_ms": ..., "stream_header_ttfb_p50_ms": ...,
+   "stream_full_p50_ms": ..., "batch4_p50_ms": ..., "reps": N}
+
+Usage:  python scripts/bench_daemon.py [--model m.gguf] [--reps 15]
+        [--f32] [--port 0]
+Without --model, a production-geometry synthetic model is used with the
+duration-predictor bias shifted (+1.5) so streamed utterances have real
+length (~4.5 frames/phoneme) instead of the zero durations random weights
+predict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _utterance(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "phonemes": rng.integers(1, cfg.num_phonemes,
+                                 size=cfg.max_n_phonemes).tolist(),
+        "puncts": rng.integers(0, cfg.num_puncts,
+                               size=cfg.max_n_phonemes).tolist(),
+        "style": rng.normal(scale=0.1, size=cfg.d_model)
+                    .astype(np.float32).tolist(),
+    }
+
+
+def _p50(xs):
+    return float(np.median(xs) * 1e3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None, help="GGUF checkpoint")
+    ap.add_argument("--reps", type=int, default=15)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--no-batch", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="TINY geometry (CPU smoke run of this script)")
+    args = ap.parse_args()
+
+    from zerovox_tpu.config import TINY_CONFIG, ZeroVoxConfig
+    from zerovox_tpu.params import init_params, load_params
+    from zerovox_tpu.runtime.server import TTSServer
+
+    if args.model:
+        cfg, params = load_params(args.model)
+    else:
+        cfg = TINY_CONFIG if args.tiny else ZeroVoxConfig()
+        params = init_params(cfg, seed=0)
+        # non-trivial durations (~exp(1.5)-1 ≈ 3.5 frames/phoneme) so the
+        # streamed audio has production-like length
+        dp = dict(params["encoder"]["duration_predictor"])
+        dp["lin_b"] = dp["lin_b"] + 1.5
+        enc = dict(params["encoder"])
+        enc["duration_predictor"] = dp
+        params = dict(params)
+        params["encoder"] = enc
+
+    precision = "float32" if args.f32 else "bfloat16"
+    t0 = time.perf_counter()
+    server = TTSServer(params, cfg, port=args.port, precision=precision,
+                       warmup=True)
+    server.start()
+    print(f"bench_daemon: warmup+start {time.perf_counter()-t0:.1f}s "
+          f"precision={precision}", file=sys.stderr, flush=True)
+    host, port = server.address
+    body = json.dumps(_utterance(cfg)).encode()
+    hdrs = {"Content-Type": "application/json"}
+
+    def conn():
+        return http.client.HTTPConnection(host, port, timeout=300)
+
+    # one untimed request per endpoint (first-hit caches: buckets, sockets)
+    c = conn(); c.request("POST", "/synthesize", body, hdrs)
+    c.getresponse().read()
+    c = conn(); c.request("POST", "/stream", body, hdrs)
+    c.getresponse().read()
+
+    synth, stream_hdr, stream_ttfa, stream_full = [], [], [], []
+    for _ in range(args.reps):
+        c = conn()
+        t0 = time.perf_counter()
+        c.request("POST", "/synthesize", body, hdrs)
+        r = c.getresponse()
+        r.read()
+        synth.append(time.perf_counter() - t0)
+        assert r.status == 200
+
+        c = conn()
+        t0 = time.perf_counter()
+        c.request("POST", "/stream", body, hdrs)
+        r = c.getresponse()
+        r.read(44)                                  # WAV header chunk
+        stream_hdr.append(time.perf_counter() - t0)
+        first = r.read(2)                           # first audio bytes
+        stream_ttfa.append(time.perf_counter() - t0)
+        rest = r.read()
+        stream_full.append(time.perf_counter() - t0)
+        assert r.status == 200 and len(first) == 2, (r.status, len(first))
+        n_samples = (2 + len(rest)) // 2
+        del rest
+
+    out = {
+        "synthesize_p50_ms": _p50(synth),
+        "synthesize_min_ms": float(min(synth) * 1e3),
+        "stream_header_ttfb_p50_ms": _p50(stream_hdr),
+        "stream_ttfa_p50_ms": _p50(stream_ttfa),
+        "stream_ttfa_min_ms": float(min(stream_ttfa) * 1e3),
+        "stream_full_p50_ms": _p50(stream_full),
+        "stream_samples": int(n_samples),
+        "reps": args.reps,
+        "precision": precision,
+    }
+
+    if not args.no_batch:
+        utts = [_utterance(cfg, seed=s) for s in range(4)]
+        bbody = json.dumps({"utterances": utts}).encode()
+        c = conn(); c.request("POST", "/batch", bbody, hdrs)
+        assert c.getresponse().read() is not None   # untimed warm hit
+        batch = []
+        for _ in range(max(3, args.reps // 3)):
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/batch", bbody, hdrs)
+            r = c.getresponse()
+            r.read()
+            batch.append(time.perf_counter() - t0)
+            assert r.status == 200
+        out["batch4_p50_ms"] = _p50(batch)
+
+    server.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
