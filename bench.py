@@ -60,7 +60,7 @@ def main():
     # VERDICT r3 weak #1).  Retry with backoff for ~10 minutes total.
     import os
     import subprocess
-    attempts = [(120, 0), (180, 15), (240, 30)]   # (probe timeout, sleep after fail)
+    attempts = [(120, 15), (180, 30), (240, 0)]   # (timeout, sleep BEFORE next)
     ok, err = False, ""
     for i, (probe_timeout, sleep_s) in enumerate(attempts):
         try:
@@ -74,10 +74,12 @@ def main():
             err = f"probe attempt {i + 1} timed out after {probe_timeout}s"
         if ok:
             break
-        print(f"bench: backend probe failed ({err.strip().splitlines()[-1] if err else '?'}); "
+        last = (err.strip().splitlines() or ["?"])[-1]
+        print(f"bench: backend probe failed ({last}); "
               f"{'retrying' if i + 1 < len(attempts) else 'giving up'}",
               file=sys.stderr)
-        time.sleep(sleep_s)
+        if i + 1 < len(attempts):
+            time.sleep(sleep_s)
     if not ok:
         print("bench: JAX backend unreachable (TPU tunnel down?)",
               file=sys.stderr)

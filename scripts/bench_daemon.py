@@ -136,7 +136,8 @@ def main():
         utts = [_utterance(cfg, seed=s) for s in range(4)]
         bbody = json.dumps({"utterances": utts}).encode()
         c = conn(); c.request("POST", "/batch", bbody, hdrs)
-        assert c.getresponse().read() is not None   # untimed warm hit
+        r = c.getresponse(); r.read()
+        assert r.status == 200, f"warm /batch hit failed: {r.status}"
         batch = []
         for _ in range(max(3, args.reps // 3)):
             c = conn()

@@ -23,6 +23,10 @@
 #include <string>
 #include <vector>
 
+#if defined(__GLIBC__)
+#include <malloc.h>
+#endif
+
 #include "zerovox.h"
 
 namespace {
@@ -83,6 +87,24 @@ int zv_stages_load(const char *gguf_path,
         g_model = nullptr;
     }
 
+#if defined(__GLIBC__)
+    // The reference's hand-rolled ConvTranspose1d never zeroes the gaps of
+    // its zero-stuffed intermediate (/root/reference/src/hifigan.cpp:50-55:
+    // only the strided view rows are written) — it implicitly relies on the
+    // gallocr compute buffer being freshly-mmapped ZERO pages, which holds
+    // in the reference binary's fresh process but not in a long-lived test
+    // process: after enough alloc/free traffic malloc serves the buffers
+    // from the (dirty) brk heap and the "zeros" become whatever bytes a
+    // freed jax/orbax buffer left behind (observed: NaN wav samples when
+    // the suite ran checkpoint tests first; nondeterministic counts).
+    // Force EVERY buffer allocated during model construction onto fresh
+    // mmap pages (page-size threshold), restoring the assumption the
+    // reference author baked in, then put the threshold back.  Documented
+    // as a discovered reference bug in docs/PARITY.md (bugs consciously
+    // not replicated by our conv_transpose1d, which computes the zeros).
+    mallopt(M_MMAP_THRESHOLD, 4096);
+#endif
+
     LoadedModel *m = new LoadedModel();
     struct gguf_context *ctx_gguf = nullptr;
     FILE *f = nullptr;
@@ -99,6 +121,10 @@ int zv_stages_load(const char *gguf_path,
         m->backend = ggml_backend_cpu_init();
         if (!m->backend)
             throw std::runtime_error("ggml_backend_cpu_init failed");
+        // single-threaded compute: the test box has one core, and a
+        // differential harness wants the reference's summation order
+        // deterministic run-to-run
+        ggml_backend_cpu_set_n_threads(m->backend, 1);
 
         m->buf_w = ggml_backend_alloc_ctx_tensors(m->ctx_w, m->backend);
         if (!m->buf_w)
@@ -173,9 +199,17 @@ int zv_stages_load(const char *gguf_path,
         if (ctx_gguf)
             gguf_free(ctx_gguf);
         destroy(m);
+#if defined(__GLIBC__)
+        mallopt(M_MMAP_THRESHOLD, 128 * 1024);
+#endif
         return -1;
     }
 
+#if defined(__GLIBC__)
+    // back to (a static approximation of) the default for the rest of the
+    // host process — the buffers that must be zero-born exist now
+    mallopt(M_MMAP_THRESHOLD, 128 * 1024);
+#endif
     g_model = m;
     return 0;
 }

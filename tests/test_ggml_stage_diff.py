@@ -19,9 +19,14 @@ The discrete paths (duration rounding fs2encoder.cpp:624-625, pitch/energy
 bucketize :442-474) would make the diff flaky if a prediction sat exactly on
 a rounding boundary; the fixtures assert a safety margin so seed drift is
 reported as such instead of as a spurious mismatch.
-"""
 
-import ctypes
+The reference classes run in a dedicated WORKER SUBPROCESS
+(ggml_harness/stage_proc.py): they assume a fresh process — the zero-stuff
+ConvTranspose gaps are never memset (hifigan.cpp:50-55) and graph metadata
+lives in function-local statics — and sharing a long-lived pytest heap with
+jax/orbax/torch broke those assumptions nondeterministically (NaN wav
+samples whenever checkpoint tests ran first).
+"""
 
 import numpy as np
 import pytest
@@ -37,75 +42,12 @@ from zerovox_tpu.ops.length_regulator import (durations_from_log,
 from zerovox_tpu.params import load_params
 
 from ggml_harness.build import get_stage_harness
+from ggml_harness.stage_proc import RefStages
 from oracles.synthetic import build_synthetic_gguf
 
 LIB, SKIP_REASON = get_stage_harness()
 pytestmark = pytest.mark.skipif(
     LIB is None, reason=f"reference stage harness unavailable: {SKIP_REASON}")
-
-F32P = ctypes.POINTER(ctypes.c_float)
-I32P = ctypes.POINTER(ctypes.c_int32)
-
-
-class RefStages:
-    """ctypes facade over the loaded reference stage classes."""
-
-    def __init__(self, lib, gguf_path: str, cfg: ZeroVoxConfig):
-        self.lib = lib
-        self.cfg = cfg
-        geom = np.array([cfg.max_n_phonemes, cfg.emb_dim, cfg.punct_emb_dim,
-                         cfg.encoder_layer, cfg.encoder_head,
-                         cfg.conv_filter_size, cfg.conv_kernel_size[0],
-                         cfg.conv_kernel_size[1], cfg.vp_kernel_size,
-                         cfg.ve_n_bins, cfg.max_seq_len, cfg.num_mels,
-                         cfg.hop_size, cfg.residual_dim,
-                         cfg.hifigan_kernel_size], dtype=np.uint32)
-        scales = np.array(cfg.upsample_scales, dtype=np.int32)
-        dils = np.array([d for blk in cfg.resblock_dilations for d in blk],
-                        dtype=np.int64)
-        rc = lib.zv_stages_load(
-            gguf_path.encode(),
-            geom.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            scales.ctypes.data_as(I32P), len(scales),
-            dils.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            cfg.num_resblocks, len(cfg.resblock_dilations[0]))
-        assert rc == 0, "reference model load failed (see stderr)"
-
-    def encoder(self, src, puncts, style, num_phonemes):
-        cfg = self.cfg
-        x = np.zeros(cfg.max_seq_len * cfg.d_model, dtype=np.float32)
-        src = np.ascontiguousarray(src, dtype=np.int32)
-        puncts = np.ascontiguousarray(puncts, dtype=np.int32)
-        style = np.ascontiguousarray(style, dtype=np.float32)
-        mel_len = self.lib.zv_stages_encoder(
-            src.ctypes.data_as(I32P), puncts.ctypes.data_as(I32P),
-            style.ctypes.data_as(F32P), num_phonemes,
-            x.ctypes.data_as(F32P))
-        assert mel_len != np.iinfo(np.uint32).max
-        return x.reshape(cfg.max_seq_len, cfg.d_model), int(mel_len)
-
-    def decoder(self, hidden, style):
-        cfg = self.cfg
-        mel = np.zeros(cfg.max_seq_len * cfg.num_mels, dtype=np.float32)
-        hidden = np.ascontiguousarray(hidden, dtype=np.float32)
-        style = np.ascontiguousarray(style, dtype=np.float32)
-        rc = self.lib.zv_stages_decoder(hidden.ctypes.data_as(F32P),
-                                        style.ctypes.data_as(F32P),
-                                        mel.ctypes.data_as(F32P))
-        assert rc == 0
-        return mel.reshape(cfg.max_seq_len, cfg.num_mels)
-
-    def vocoder(self, mel):
-        cfg = self.cfg
-        wav = np.zeros(cfg.max_seq_len * cfg.hop_size, dtype=np.float32)
-        mel = np.ascontiguousarray(mel, dtype=np.float32)
-        rc = self.lib.zv_stages_hifigan(mel.ctypes.data_as(F32P),
-                                        wav.ctypes.data_as(F32P))
-        assert rc == 0
-        return wav
-
-    def free(self):
-        self.lib.zv_stages_free()
 
 
 def _inputs(cfg: ZeroVoxConfig, seed=7):

@@ -124,6 +124,17 @@ class TTSEngine:
                 return s
         return self.batch_ladder[-1]
 
+    def _ladder_chunks(self, idxs: Sequence[int]):
+        """Split an index list into ladder-top chunks, each padded (first
+        index repeated) up to its ladder size.  Yields (padded_idxs, n_real)
+        — the one shape-bounding rule every batched dispatch (front,
+        vocoder, packed groups) shares."""
+        top = self.batch_ladder[-1]
+        for c0 in range(0, len(idxs), top):
+            chunk = list(idxs[c0:c0 + top])
+            size = self.ladder_size(len(chunk))
+            yield chunk + [chunk[0]] * (size - len(chunk)), len(chunk)
+
     def warmup(self, batch: int = 1, pcm16: bool = False):
         """Compile every program serving can hit for batches up to `batch`:
         the front and the vocoder (at each bucket) at every ladder size
@@ -189,7 +200,8 @@ class TTSEngine:
         # bucket on every path — otherwise this branch would return a
         # bucket-length array while the single-RTT branch above returns
         # max_seq_len*hop for the same inputs
-        bucket = (self.pick_bucket(int(mel_len_h.max()) if B else 0)
+        # B >= 1 here: _dispatch_front rejects empty batches
+        bucket = (self.pick_bucket(int(mel_len_h.max()))
                   if trim else self.mel_buckets[-1])
 
         wav_h = self._vocode_ladder(mel, bucket, pcm16)
@@ -216,20 +228,16 @@ class TTSEngine:
             src_seq, puncts, style_embed, num_phonemes)
         B = mel.shape[0]
         cfg = self.cfg
-        top = self.batch_ladder[-1]
         wavs: List[Optional[np.ndarray]] = [None] * B
         groups = (self.group_by_bucket(mel_len_h) if trim
                   else {self.mel_buckets[-1]: list(range(B))})
         for bucket, idxs in groups.items():
-            for c0 in range(0, len(idxs), top):
-                chunk = idxs[c0:c0 + top]
-                size = self.ladder_size(len(chunk))
-                padded = chunk + [chunk[0]] * (size - len(chunk))
+            for padded, n in self._ladder_chunks(idxs):
                 mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
                 wav = self._back_fn(bucket, pcm16)(self.params,
                                                    mel_g[:, :bucket])
                 wav_h = self._host_wav(jax.device_get(wav), pcm16)
-                for k, i in enumerate(chunk):
+                for k, i in enumerate(padded[:n]):
                     w = wav_h[k]
                     if trim:
                         w = w[: int(mel_len_h[i]) * cfg.hop_size]
@@ -259,16 +267,12 @@ class TTSEngine:
             num_phonemes = jnp.full((B,), cfg.max_n_phonemes, jnp.int32)
         else:
             num_phonemes = jnp.asarray(num_phonemes, jnp.int32)
-        top = self.batch_ladder[-1]
         if B in self.batch_ladder:            # fast path: no index shuffle
             return self._front(self.params, src_seq, puncts,
                                style_embed, num_phonemes)
         mels, lens = [], []
-        for c0 in range(0, B, top):
-            n = min(top, B - c0)
-            size = self.ladder_size(n)
-            idx = jnp.asarray(list(range(c0, c0 + n))
-                              + [c0] * (size - n), jnp.int32)
+        for padded, n in self._ladder_chunks(range(B)):
+            idx = jnp.asarray(padded, jnp.int32)
             mel_c, len_c = self._front(
                 self.params, jnp.take(src_seq, idx, axis=0),
                 jnp.take(puncts, idx, axis=0),
@@ -296,14 +300,9 @@ class TTSEngine:
         if B in self.batch_ladder:             # fast path: no index shuffle
             wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
             return self._host_wav(jax.device_get(wav), pcm16)
-        top = self.batch_ladder[-1]
         outs = []
-        for c0 in range(0, B, top):
-            n = min(top, B - c0)
-            size = self.ladder_size(n)
-            idx = jnp.asarray(list(range(c0, c0 + n))
-                              + [c0] * (size - n), jnp.int32)
-            mel_g = jnp.take(mel, idx, axis=0)
+        for padded, n in self._ladder_chunks(range(B)):
+            mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
             wav = self._back_fn(bucket, pcm16)(self.params, mel_g[:, :bucket])
             outs.append(self._host_wav(jax.device_get(wav), pcm16)[:n])
         return np.concatenate(outs, axis=0)

@@ -69,8 +69,9 @@ def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
         raise ValueError(f"style embedding has {style.shape[1]} dims, "
                          f"model wants {cfg.d_model}")
     if len(ph) > P:
-        # silently truncating over HTTP would return shortened audio with a
-        # 200; the CLI splits long inputs itself, a client must too
+        # silently truncating would return shortened audio with a 200 (or,
+        # through the CLI, a silently shortened WAV); an explicit error
+        # tells the caller to split the utterance
         raise ValueError(f"{len(ph)} phonemes exceeds the model's "
                          f"max_n_phonemes={P}; split the utterance")
     n = len(ph)
@@ -197,7 +198,12 @@ class TTSServer:
                         # connection after responding rather than parsing
                         # the leftover bytes as the next request
                         self.close_connection = True
-                    return self._json(code, {"error": str(e)})
+                    try:
+                        return self._json(code, {"error": str(e)})
+                    except OSError:
+                        # client already gone before reading its error
+                        self.close_connection = True
+                        return
                 except OSError:
                     # client went away mid-response (BrokenPipe on a /stream
                     # chunk write, reset, timeout): close quietly instead of

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import sys
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -48,7 +47,9 @@ def make_eval_fn(cfg: ZeroVoxConfig, mesh=None, use_stft: bool = True,
 
 
 def _take(data: TrainBatch, idx: np.ndarray) -> TrainBatch:
-    return jax.tree.map(lambda a: jnp.asarray(a)[jnp.asarray(idx)], data)
+    # `data` leaves are device arrays (fit converts once, up front); only
+    # the batch-sized gather result moves per step
+    return jax.tree.map(lambda a: a[jnp.asarray(idx)], data)
 
 
 def _loss_stats(device_losses: List[jnp.ndarray]) -> Tuple[float, float]:
@@ -106,6 +107,11 @@ def fit(state: TrainState,
     if ibatch_split < nbatches and eval_fn is None:
         raise ValueError("val_split > 0 requires eval_fn (make_eval_fn)")
     idata_split = ibatch_split * batch_size
+
+    # one host->device transfer of the dataset, up front — per-batch
+    # jnp.asarray of numpy leaves would re-upload the WHOLE dataset every
+    # step (O(epochs*nbatches*|dataset|) tunnel traffic)
+    data = jax.tree.map(jnp.asarray, data)
 
     rng = np.random.default_rng(seed)
     order = np.arange(ndata)
