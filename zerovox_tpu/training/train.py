@@ -123,6 +123,19 @@ def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
 
     params = jax.tree.map(lambda x, s: jax.device_put(x, sh(s)), params, p_specs)
     opt_state = optimizer.init(params)
+
+    # moments inherit the param shardings (zeros_like of sharded leaves),
+    # but optax's scalar leaves (count, ...) land uncommitted on one device;
+    # pin them mesh-replicated so the whole TrainState carries explicit
+    # shardings — orbax restore commits arrays to their target's placement,
+    # and a single-device count next to mesh-sharded params is an
+    # incompatible-devices error on the first resumed step
+    def _pin(x):
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        return jax.device_put(x, sh(P()))
+
+    opt_state = jax.tree.map(_pin, opt_state)
     state = TrainState(params, opt_state,
                        jax.device_put(jnp.zeros((), jnp.int32), sh(P())))
 
