@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--ttfa", action="store_true",
                     help="(kept for compat; TTFA is now always measured)")
+    ap.add_argument("--fuse-a", action="store_true",
+                    help="enable the a>1 in-kernel upsample (stage 4; "
+                         "cfg.vocoder_fuse_a_upsample) for A/B measurement")
     ap.add_argument("--no-ttfa", action="store_true",
                     help="skip the streaming time-to-first-audio measurement")
     args = ap.parse_args()
@@ -93,7 +96,8 @@ def main():
     from zerovox_tpu.params import init_params
 
     dtype_name = "float32" if args.f32 else "bfloat16"
-    cfg = ZeroVoxConfig(compute_dtype=dtype_name)
+    cfg = ZeroVoxConfig(compute_dtype=dtype_name,
+                        vocoder_fuse_a_upsample=args.fuse_a)
     params = init_params(cfg, seed=0)
     if not args.f32:
         params = cast_params(params, jnp.bfloat16)
