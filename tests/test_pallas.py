@@ -3,6 +3,7 @@ on CPU; the same kernel compiles on TPU — see docs/ARCHITECTURE.md)."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from zerovox_tpu.config import TINY_CONFIG
@@ -338,6 +339,46 @@ def test_in_kernel_upsample_a_grouped(rng, s, rho_in, g, in_leaky):
                       in_leaky=in_leaky))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_in_kernel_upsample_a_grouped_bf16(rng):
+    """The a>1 fusion's serving-path numerics (bf16 activations, bf16 MXU
+    operands with f32 accumulation) must track the XLA grouped bf16 path —
+    the production stage-4 shape (a=2, ing=3)."""
+    from zerovox_tpu.ops.conv import conv_transpose1d_grouped, fold
+
+    params = init_params(CFG, seed=0)
+    C, rho, Cin, s, rho_in, g = 16, 8, 16, 3, 4, 8
+    a, ing = g // rho_in, g * s // 8
+    R = 96
+    L_src = R * rho_in
+    x = jnp.asarray(rng.normal(size=(2, R, rho_in * Cin)), jnp.bfloat16)
+    w_up = jnp.asarray(rng.normal(size=(2 * s, Cin, C)) * 0.2, jnp.bfloat16)
+    b_up = jnp.asarray(rng.normal(size=(C,)), jnp.bfloat16)
+    blocks, _ = _stage(params, 0, fold(jnp.zeros((1, L_src * s, C),
+                                                 jnp.bfloat16), rho), rho)
+    blocks = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16), blocks)
+
+    y = conv_transpose1d_grouped(x, w_up, b_up, stride=s,
+                                 padding=s // 2 + s % 2,
+                                 output_padding=s % 2, rho_in=rho_in, g=g)
+    y = y.reshape(y.shape[0], -1, y.shape[-1] // ing)       # ing=3 regroup
+    ref = folded_mrf_stage(y, blocks, CFG.resblock_dilations,
+                           CFG.resblock_kernel_size, rho, t_blk=48)
+
+    xg = x.reshape(x.shape[0], R // a, a * rho_in * Cin)
+    got = folded_mrf_stage(
+        xg, blocks, CFG.resblock_dilations, CFG.resblock_kernel_size, rho,
+        t_blk=48, in_group=ing, in_bias=b_up,
+        upsample=dict(w=w_up, stride=s, padding=s // 2 + s % 2,
+                      output_padding=s % 2, rho_in=rho_in, g=g))
+    ref32 = np.asarray(ref, np.float32)
+    got32 = np.asarray(got, np.float32)
+    # both sides quantize differently (the XLA path rounds the upsample
+    # output to bf16 before the chain; the fused path keeps it f32) —
+    # tolerance is a few bf16 ulps of the activation scale
+    np.testing.assert_allclose(got32, ref32, atol=0.08, rtol=0.05)
+    assert np.isfinite(got32).all()
 
 
 @pytest.mark.parametrize("scales,C0,L,fuse_a,expect", [

@@ -156,6 +156,31 @@ def test_request_caps(server):
         utterance_from_dict(utt, TINY_CONFIG)
 
 
+def test_metrics_endpoint(server):
+    """GET /metrics reports per-endpoint counts, errors, and latency
+    quantiles over the served requests."""
+    # generate one success and one 400 on /synthesize
+    c = _conn(server)
+    c.request("POST", "/synthesize?trim=0",
+              json.dumps(_utt(TINY_CONFIG)).encode(),
+              {"Content-Type": "application/json"})
+    assert c.getresponse().status == 200
+    c = _conn(server)
+    c.request("POST", "/synthesize", b"{}",
+              {"Content-Type": "application/json"})
+    assert c.getresponse().status == 400
+
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    r = c.getresponse()
+    assert r.status == 200
+    m = json.loads(r.read())
+    assert m["uptime_s"] > 0
+    ep = m["endpoints"]["/synthesize"]
+    assert ep["count"] >= 2 and ep["errors"] >= 1
+    assert ep["p50_ms"] is not None and ep["max_ms"] >= ep["p50_ms"]
+
+
 def test_batch_endpoint(server):
     """/batch routes a mixed batch through synthesize_packed and returns
     per-utterance base64 WAVs aligned with the request order."""

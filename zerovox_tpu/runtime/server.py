@@ -13,6 +13,8 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
 {"phonemes": [...], "style": [...], "puncts": optional}):
 
   GET  /healthz      -> {"status": "ok", "sampling_rate": ..., ...}
+  GET  /metrics      -> per-endpoint request counts, error counts, and
+                        p50/p95/max latency over the last 512 requests
   POST /synthesize   -> complete WAV (query: ?trim=0 keeps the padded
                         buffer, the reference's behavior)
   POST /batch        -> {"utterances": [utt, ...]} -> JSON array of
@@ -30,6 +32,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence, Tuple
 from urllib.parse import urlparse, parse_qs
@@ -42,6 +45,49 @@ from ..io.wav import float_to_pcm16, _wav_header
 
 class RequestTooLarge(ValueError):
     """Request body exceeds the server's cap (HTTP 413)."""
+
+
+class Metrics:
+    """Per-endpoint request counters + latency quantiles (GET /metrics).
+
+    The reference's observability is printf lines (SURVEY §5); a resident
+    daemon needs machine-readable counters.  Latencies keep a bounded ring
+    (last `window` requests per endpoint) so memory is O(1) under load.
+    """
+
+    def __init__(self, window: int = 512):
+        self._lock = threading.Lock()
+        self._window = window
+        self._t0 = time.time()
+        self._ep: dict = {}
+
+    def record(self, endpoint: str, status: int, seconds: float):
+        with self._lock:
+            ep = self._ep.setdefault(endpoint, {
+                "count": 0, "errors": 0, "lat": [], "i": 0})
+            ep["count"] += 1
+            if status >= 400:
+                ep["errors"] += 1
+            if len(ep["lat"]) < self._window:
+                ep["lat"].append(seconds)
+            else:
+                ep["lat"][ep["i"] % self._window] = seconds
+            ep["i"] += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {"uptime_s": round(time.time() - self._t0, 3),
+                   "endpoints": {}}
+            for name, ep in self._ep.items():
+                lat = sorted(ep["lat"])
+                q = (lambda p: round(
+                    1e3 * lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+                    ) if lat else (lambda p: None)
+                out["endpoints"][name] = {
+                    "count": ep["count"], "errors": ep["errors"],
+                    "p50_ms": q(0.50), "p95_ms": q(0.95), "max_ms": q(1.0),
+                }
+            return out
 
 
 def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
@@ -99,6 +145,7 @@ class TTSServer:
         # memory or mint unbounded device work on a production server
         self.max_body_bytes = int(max_body_bytes)
         self.max_batch = int(max_batch)
+        self.metrics = Metrics()
         self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
                                 precision=precision)
         # the engine may have cast params/cfg for bf16 serving; the
@@ -140,6 +187,7 @@ class TTSServer:
                 pass
 
             def _json(self, code: int, obj: dict):
+                self._status = code
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -162,7 +210,10 @@ class TTSServer:
                                            server.engine.cfg)
 
             def do_GET(self):
-                if urlparse(self.path).path != "/healthz":
+                path = urlparse(self.path).path
+                if path == "/metrics":
+                    return self._json(200, server.metrics.snapshot())
+                if path != "/healthz":
                     return self._json(404, {"error": "unknown endpoint"})
                 cfg = server.engine.cfg
                 self._json(200, {
@@ -175,7 +226,16 @@ class TTSServer:
 
             def do_POST(self):
                 url = urlparse(self.path)
+                t0 = time.perf_counter()
+                try:
+                    return self._route(url)
+                finally:
+                    server.metrics.record(url.path, self._status,
+                                          time.perf_counter() - t0)
+
+            def _route(self, url):
                 self._body_started = False
+                self._status = 200
                 try:
                     if url.path == "/synthesize":
                         return self._synthesize(url)
@@ -190,6 +250,7 @@ class TTSServer:
                         # JSON error response here would be parsed as
                         # chunk framing — drop the connection instead so
                         # the client sees a truncated (invalid) stream
+                        self._status = 500
                         self.close_connection = True
                         return
                     code = 413 if isinstance(e, RequestTooLarge) else 400
@@ -208,6 +269,7 @@ class TTSServer:
                     # client went away mid-response (BrokenPipe on a /stream
                     # chunk write, reset, timeout): close quietly instead of
                     # killing the handler thread with a traceback
+                    self._status = 499          # nginx's client-closed code
                     self.close_connection = True
                     return
 
