@@ -51,3 +51,21 @@ def test_capture_does_not_leak(rng):
     x = jnp.ones((2,))
     capture_run(lambda a: tap("t", a * 2), x)
     assert tap("t2", x) is x
+
+
+def test_dump_hlo(tmp_path):
+    """dump_hlo mirrors ggml_graph_print/dump_dot: the traced and the
+    compiled program text of any jittable function."""
+    from zerovox_tpu.utils.debug import dump_hlo
+    import jax.numpy as jnp
+
+    def f(a, b):
+        return jnp.tanh(a @ b)
+
+    a = jnp.ones((4, 8)); b = jnp.ones((8, 4))
+    txt = dump_hlo(f, a, b)
+    assert "tanh" in txt and "dot" in txt
+    out = str(tmp_path / "g.hlo")
+    opt = dump_hlo(f, a, b, optimized=True, path=out)
+    assert "fusion" in opt or "tanh" in opt
+    assert open(out).read() == opt

@@ -55,6 +55,21 @@ def capture_run(fn: Callable, *args, jit: bool = True,
     return runner(*args, **kwargs)
 
 
+def dump_hlo(fn: Callable, *args, optimized: bool = False,
+             path: str | None = None) -> str:
+    """The ggml_graph_print / ggml_graph_dump_dot equivalent
+    (/root/reference/ggml/src/ggml.c:6048, :6124): the traced program of
+    fn(*args) as HLO text — optimized=True returns the compiled (fused)
+    module, which is what actually runs.  Optionally written to `path`."""
+    lowered = jax.jit(fn).lower(*args)
+    text = (lowered.compile().as_text() if optimized
+            else lowered.as_text())
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
 def summarize(name: str, x) -> str:
     """print_tensor-style one-line summary: shape, head values, sum."""
     a = np.asarray(x, dtype=np.float64).reshape(-1)
