@@ -64,3 +64,42 @@ def test_two_process_distributed_train_step():
     assert checks[0] == checks[1], f"\n{checks[0]}\nvs\n{checks[1]}"
     names = {line.split()[1] for line in checks[0]}
     assert names == {"reduction", "train_loss", "done"}, checks[0]
+
+
+def test_training_cli_two_process_launch():
+    """The training CLI is multi-host launchable: every host runs the same
+    command with the JAX_* coordinator env set; initialize_distributed()
+    brings up the runtime and the pod mesh spans both processes' devices.
+    Both must report the identical final loss (replicated after grad psum)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    cmd = [sys.executable, "-m", "zerovox_tpu.training.cli",
+           "--synthetic", "8", "--tiny", "--epochs", "1",
+           "--batch-size", "8", "--no-stft"]
+
+    procs = [subprocess.Popen(cmd, env=dict(env, JAX_PROCESS_ID=str(pid)),
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, cwd=REPO)
+             for pid in range(2)]
+    losses = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"CLI worker {pid} timed out")
+        assert p.returncode == 0, (
+            f"CLI worker {pid} rc={p.returncode}\nstdout:\n{out}"
+            f"\nstderr:\n{err}")
+        assert f"distributed process {pid}/2" in err
+        assert "mesh={'data': 8, 'model': 1}" in err
+        loss = [ln for ln in err.splitlines() if "final train loss" in ln]
+        assert loss, err
+        losses.append(loss[0].split("final train loss")[1].split()[0])
+    assert losses[0] == losses[1], losses

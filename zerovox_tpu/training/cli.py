@@ -101,11 +101,20 @@ def main(argv=None):
 
     import jax
     from ..config import TINY_CONFIG, ZeroVoxConfig
-    from ..params import init_params, load_params
-    from ..parallel import make_mesh
+    from ..parallel import initialize_distributed, make_mesh, make_pod_mesh
     from .checkpoint import CheckpointManager, export_weights_gguf
     from .fit import fit, make_eval_fn
     from .train import make_optimizer, make_sharded_train_step
+
+    # multi-host launch: every host runs this same command with
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set
+    # (or Cloud TPU auto-discovery); must happen before any backend use
+    distributed = initialize_distributed()
+    if distributed:
+        print(f"train: distributed process {jax.process_index()}/"
+              f"{jax.process_count()}", file=sys.stderr)
+
+    from ..params import init_params, load_params
 
     if args.init:
         cfg, params = load_params(args.init)
@@ -123,7 +132,14 @@ def main(argv=None):
         d, m = (int(x) for x in args.mesh.split(","))
     else:
         d, m = n_dev, 1
-    mesh = make_mesh(data=d, model=m)
+    if distributed:
+        # pod layout: data spans hosts (DCN), model stays inside one host's
+        # devices (ICI-only TP collectives); data size derives from the
+        # global device count, only --mesh's model part is honored
+        mesh = make_pod_mesh(hosts=jax.process_count(), model=m)
+    else:
+        mesh = make_mesh(data=d, model=m)
+    d = mesh.shape["data"]
     if args.batch_size % d:
         raise SystemExit(f"--batch-size {args.batch_size} must divide by the "
                          f"data-axis size {d}")
