@@ -88,6 +88,7 @@ def main() -> int:
     state, step = make_sharded_train_step(
         cfg, mesh, params,
         stft_resolutions=((256, 30, 120), (128, 15, 60)))
+    host_batch = TrainBatch(*(np.asarray(x) for x in batch))
     batch = shard_batch(batch, mesh)
 
     state, losses = step(state, batch)
@@ -95,6 +96,32 @@ def main() -> int:
     assert np.isfinite(loss)
     assert int(state.step) == 1
     print(f"CHECK train_loss {loss:.10f}", flush=True)
+
+    # multi-process INFERENCE — the actual job the reference's ggml-rpc
+    # offload transport exists for, done the SPMD way: pure-DP shard_map
+    # over all 8 devices, each process vocoding its local batch shards
+    from zerovox_tpu.models.pipeline import synthesize
+    from zerovox_tpu.parallel import make_pod_mesh as _pm, make_mesh  # noqa: F401
+    from zerovox_tpu.parallel.infer import make_sharded_synthesize
+
+    dp_mesh = make_pod_mesh(hosts=2, model=1)
+    sparams, fn = make_sharded_synthesize(cfg, dp_mesh, params)
+    out = fn(sparams, batch.src_seq, batch.puncts, batch.style_embed,
+             batch.num_phonemes)
+
+    # every process checks ITS addressable shards against a local
+    # single-device reference of the full batch
+    ref = synthesize(params, cfg, host_batch.src_seq, host_batch.puncts,
+                     host_batch.style_embed,
+                     num_phonemes=host_batch.num_phonemes)
+    ref_wav = np.asarray(ref.wav)
+    for shard in out.wav.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   ref_wav[shard.index],
+                                   atol=2e-4, rtol=1e-3)
+    # and a cross-process checksum both processes must agree on
+    wav_sum = float(jax.jit(lambda w: jnp.sum(jnp.abs(w)))(out.wav))
+    print(f"CHECK infer_wav_sum {wav_sum:.6f}", flush=True)
 
     jax.distributed.shutdown()
     print("CHECK done ok", flush=True)

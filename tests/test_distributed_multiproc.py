@@ -63,7 +63,8 @@ def test_two_process_distributed_train_step():
                      if line.startswith("CHECK ")) for o in outs]
     assert checks[0] == checks[1], f"\n{checks[0]}\nvs\n{checks[1]}"
     names = {line.split()[1] for line in checks[0]}
-    assert names == {"reduction", "train_loss", "done"}, checks[0]
+    assert names == {"reduction", "train_loss", "infer_wav_sum",
+                     "done"}, checks[0]
 
 
 def test_training_cli_two_process_launch():

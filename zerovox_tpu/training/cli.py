@@ -98,6 +98,8 @@ def main(argv=None):
     ap.add_argument("--export", help="write weights-only GGUF here at the end")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.epochs < 1:
+        ap.error(f"--epochs must be >= 1 (got {args.epochs})")
 
     import jax
     from ..config import TINY_CONFIG, ZeroVoxConfig
