@@ -67,11 +67,9 @@ def test_two_process_distributed_train_step():
                      "done"}, checks[0]
 
 
-def test_training_cli_two_process_launch():
-    """The training CLI is multi-host launchable: every host runs the same
-    command with the JAX_* coordinator env set; initialize_distributed()
-    brings up the runtime and the pod mesh spans both processes' devices.
-    Both must report the identical final loss (replicated after grad psum)."""
+def _run_cli_two_process(extra_args, tmp_ck):
+    """Launch the training CLI as 2 coordinated processes; returns the
+    per-process stderr texts (asserting rc=0 and matching final losses)."""
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -80,14 +78,15 @@ def test_training_cli_two_process_launch():
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = "2"
     cmd = [sys.executable, "-m", "zerovox_tpu.training.cli",
-           "--synthetic", "8", "--tiny", "--epochs", "1",
-           "--batch-size", "8", "--no-stft"]
+           "--synthetic", "8", "--tiny", "--batch-size", "8", "--no-stft",
+           "--checkpoint-dir", tmp_ck, "--checkpoint-every", "1",
+           *extra_args]
 
     procs = [subprocess.Popen(cmd, env=dict(env, JAX_PROCESS_ID=str(pid)),
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                               text=True, cwd=REPO)
              for pid in range(2)]
-    losses = []
+    errs, losses = [], []
     for pid, p in enumerate(procs):
         try:
             out, err = p.communicate(timeout=540)
@@ -103,4 +102,25 @@ def test_training_cli_two_process_launch():
         loss = [ln for ln in err.splitlines() if "final train loss" in ln]
         assert loss, err
         losses.append(loss[0].split("final train loss")[1].split()[0])
+        errs.append(err)
     assert losses[0] == losses[1], losses
+    return errs
+
+
+def test_training_cli_two_process_launch_and_resume(tmp_path):
+    """The training CLI is multi-host launchable AND durable: every host
+    runs the same command with the JAX_* coordinator env set;
+    initialize_distributed() brings up the runtime, the pod mesh spans both
+    processes' devices, orbax saves the sharded TrainState with both
+    processes participating, and a rerun resumes from it.  Both processes
+    must report the identical final loss (replicated after grad psum)."""
+    ck = str(tmp_path / "ck")
+
+    errs = _run_cli_two_process(["--epochs", "1"], ck)
+    assert all("resumed" not in e for e in errs)
+    assert all("1 total steps" in e for e in errs)
+
+    # second launch resumes from the multi-process checkpoint
+    errs = _run_cli_two_process(["--epochs", "1"], ck)
+    assert all("resumed from step 1" in e for e in errs)
+    assert all("2 total steps" in e for e in errs)
