@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--no-ttfa", action="store_true",
                     help="skip the streaming time-to-first-audio measurement")
     args = ap.parse_args()
+    if args.iters < 2:
+        # the per-rep estimate divides by (iters - 1): the single-run wall
+        # is subtracted to remove the tunnel round-trip, so a 1-chain
+        # carries no measurable device time at all
+        ap.error("--iters must be >= 2 (the K-chain is differenced "
+                 "against a single run)")
 
     # Probe that the device backend is reachable before committing to the
     # measurement, but do NOT give up on one slow attempt: the first tunnel

@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="TINY geometry (CPU smoke run of this script)")
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (medians of zero measurements)")
 
     from zerovox_tpu.config import TINY_CONFIG, ZeroVoxConfig
     from zerovox_tpu.params import init_params, load_params

@@ -181,6 +181,42 @@ def test_metrics_endpoint(server):
     assert ep["p50_ms"] is not None and ep["max_ms"] >= ep["p50_ms"]
 
 
+def test_metrics_keys_bounded(server):
+    """Unknown POST paths must not mint metrics entries: one ring buffer
+    per attacker-chosen URL would grow server memory without bound
+    (review r4).  They all land in the "other" bucket."""
+    for i in range(3):
+        c = _conn(server)
+        c.request("POST", f"/scan-{i}", b"{}",
+                  {"Content-Type": "application/json"})
+        assert c.getresponse().status == 404
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    m = json.loads(c.getresponse().read())
+    assert "other" in m["endpoints"]
+    assert m["endpoints"]["other"]["count"] >= 3
+    assert not any(k.startswith("/scan-") for k in m["endpoints"])
+
+
+def test_unexpected_exception_yields_500(server):
+    """A payload whose failure falls OUTSIDE the ValueError family (numpy
+    raises OverflowError for out-of-range int32) must produce an HTTP 500
+    and count as an error in /metrics — not a dead handler thread recorded
+    as a 200 (review r4)."""
+    utt = _utt(TINY_CONFIG)
+    utt["phonemes"][0] = 1 << 40        # does not fit int32 -> OverflowError
+    c = _conn(server)
+    c.request("POST", "/synthesize", json.dumps(utt).encode(),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 500
+    assert "internal error" in json.loads(r.read())["error"]
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    m = json.loads(c.getresponse().read())
+    assert m["endpoints"]["/synthesize"]["errors"] >= 1
+
+
 def test_batch_endpoint(server):
     """/batch routes a mixed batch through synthesize_packed and returns
     per-utterance base64 WAVs aligned with the request order."""

@@ -172,16 +172,18 @@ class TTSEngine:
         bucket always covers the true length, so speculation never rolls
         back; it just skips the bucket compute saving, which at B=1 is ~5 ms
         against the ~30 ms RTT it removes (the streaming TTFA trick,
-        models/streaming.py).  With single_rtt off, the whole batch vocodes
-        at the bucket of its longest utterance; for mixed-length batches use
-        synthesize_packed(), which routes each bucket group separately.
+        models/streaming.py).  The one-fetch trick needs the whole batch in
+        ONE vocoder dispatch, so it only engages when the batch size is
+        already a ladder size: off-ladder batches fall through to the
+        ladder-split path even with single_rtt=True (compile keys stay
+        bounded; the extra RTTs only hit unusual batch sizes).  With
+        single_rtt off, the whole batch vocodes at the bucket of its longest
+        utterance; for mixed-length batches use synthesize_packed(), which
+        routes each bucket group separately.
         """
-        B0 = jnp.asarray(src_seq).shape[0]
+        B0 = int(np.shape(src_seq)[0])   # no device transfer just for shape
         if single_rtt is None:
             single_rtt = B0 == 1
-        # the one-fetch trick needs the whole batch in ONE vocoder dispatch;
-        # off-ladder batches fall through to the ladder-split path (compile
-        # keys stay bounded; the extra RTTs only hit unusual batch sizes)
         if single_rtt and B0 in self.batch_ladder:
             mel, mel_len = self._dispatch_front(
                 src_seq, puncts, style_embed, num_phonemes)

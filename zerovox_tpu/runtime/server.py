@@ -52,7 +52,9 @@ class Metrics:
 
     The reference's observability is printf lines (SURVEY §5); a resident
     daemon needs machine-readable counters.  Latencies keep a bounded ring
-    (last `window` requests per endpoint) so memory is O(1) under load.
+    (last `window` requests per endpoint) and the endpoint set itself is
+    bounded by the caller (do_POST buckets unknown paths under "other"),
+    so memory stays O(1) under load — including attacker-chosen URLs.
     """
 
     def __init__(self, window: int = 512):
@@ -224,13 +226,20 @@ class TTSServer:
                     "mel_buckets": list(server.engine.mel_buckets),
                 })
 
+            # the metrics key set must be bounded: recording raw request
+            # paths would grow one ring buffer per attacker-chosen URL
+            KNOWN_ENDPOINTS = frozenset(
+                ("/synthesize", "/batch", "/stream"))
+
             def do_POST(self):
                 url = urlparse(self.path)
+                endpoint = (url.path if url.path in self.KNOWN_ENDPOINTS
+                            else "other")
                 t0 = time.perf_counter()
                 try:
                     return self._route(url)
                 finally:
-                    server.metrics.record(url.path, self._status,
+                    server.metrics.record(endpoint, self._status,
                                           time.perf_counter() - t0)
 
             def _route(self, url):
@@ -272,6 +281,23 @@ class TTSServer:
                     self._status = 499          # nginx's client-closed code
                     self.close_connection = True
                     return
+                except Exception as e:          # noqa: BLE001
+                    # anything unanticipated (e.g. OverflowError from a
+                    # pathological numeric payload, which numpy raises
+                    # OUTSIDE the ValueError family) must still produce an
+                    # HTTP error and an accurate metrics row — not a dead
+                    # handler thread recorded as a 200
+                    self._status = 500
+                    if self._body_started:
+                        self.close_connection = True
+                        return
+                    try:
+                        return self._json(500, {
+                            "error": f"internal error: "
+                                     f"{type(e).__name__}: {e}"})
+                    except OSError:
+                        self.close_connection = True
+                        return
 
             def _synthesize(self, url):
                 src, pun, style, n = self._read_utterance()

@@ -131,7 +131,11 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     if args.mesh:
-        d, m = (int(x) for x in args.mesh.split(","))
+        try:
+            d, m = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            ap.error(f"--mesh {args.mesh!r} is not DATA,MODEL "
+                     "(two comma-separated ints, e.g. --mesh 4,2)")
     else:
         d, m = n_dev, 1
     if distributed:
@@ -139,6 +143,10 @@ def main(argv=None):
         # devices (ICI-only TP collectives); data size derives from the
         # global device count, only --mesh's model part is honored
         mesh = make_pod_mesh(hosts=jax.process_count(), model=m)
+        if args.mesh and mesh.shape["data"] != d:
+            print(f"train: distributed mode derives the data axis from the "
+                  f"global device count; --mesh data={d} ignored "
+                  f"(using {mesh.shape['data']})", file=sys.stderr)
     else:
         mesh = make_mesh(data=d, model=m)
     d = mesh.shape["data"]
