@@ -69,7 +69,16 @@ def main(argv=None):
                          "synthesis (endpoints: /healthz /synthesize /batch /stream)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--compile-cache", metavar="DIR",
+                    help="persist compiled XLA programs under DIR so a "
+                         "restarted process warm-starts (loads instead of "
+                         "recompiling; minutes -> seconds on the TPU tunnel)")
     args = ap.parse_args(argv)
+
+    if args.compile_cache:
+        from zerovox_tpu.utils.compile_cache import enable_compile_cache
+        print(f"compile cache: {enable_compile_cache(args.compile_cache)}",
+              file=sys.stderr)
 
     from zerovox_tpu.params import load_params
     from zerovox_tpu.io.wav import write_wav

@@ -97,9 +97,18 @@ def main(argv=None):
                     help="optimizer steps between checkpoints")
     ap.add_argument("--export", help="write weights-only GGUF here at the end")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compile-cache", metavar="DIR",
+                    help="persist compiled XLA programs under DIR (a "
+                         "restarted/resumed run loads the train step "
+                         "instead of recompiling it)")
     args = ap.parse_args(argv)
     if args.epochs < 1:
         ap.error(f"--epochs must be >= 1 (got {args.epochs})")
+
+    if args.compile_cache:
+        from ..utils.compile_cache import enable_compile_cache
+        print(f"train: compile cache "
+              f"{enable_compile_cache(args.compile_cache)}", file=sys.stderr)
 
     import jax
     from ..config import TINY_CONFIG, ZeroVoxConfig
