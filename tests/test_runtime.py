@@ -227,16 +227,21 @@ def test_cli_end_to_end(tmp_path, rng):
 
     import os
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cache = tmp_path / "xla-cache"
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
          "from zerovox_tpu.cli import main; import sys; sys.exit(main())",
-         "--model", model, "--input", str(inp), "--output", out],
+         "--model", model, "--input", str(inp), "--output", out,
+         "--compile-cache", str(cache)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr
     wav, rate = read_wav(out)
     assert rate == CFG.sampling_rate
+    # the flag wires the persistent compilation cache (warm-start story
+    # in test_compile_cache.py; here: the CLI plumbs it through)
+    assert any(cache.iterdir()), "CLI --compile-cache left the dir empty"
 
 
 def test_engine_concurrent_requests(rng):
