@@ -73,6 +73,12 @@ def main(argv=None):
                     help="persist compiled XLA programs under DIR so a "
                          "restarted process warm-starts (loads instead of "
                          "recompiling; minutes -> seconds on the TPU tunnel)")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="with --serve: coalesce concurrent /synthesize "
+                         "requests arriving within this window into one "
+                         "packed device dispatch (~batch-size x per-chip "
+                         "throughput under load; adds at most the window "
+                         "to latency). 0 = off")
     args = ap.parse_args(argv)
 
     if args.compile_cache:
@@ -100,7 +106,8 @@ def main(argv=None):
         server = TTSServer(params, cfg, host=args.host, port=args.port,
                            precision=args.precision, mel_buckets=buckets,
                            chunk_frames=args.chunk_frames,
-                           overlap=args.overlap)
+                           overlap=args.overlap,
+                           batch_window_ms=args.batch_window_ms)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
               "(/healthz /synthesize /batch /stream)", file=sys.stderr)

@@ -1,0 +1,151 @@
+"""Dynamic request batching: coalesce concurrent one-shot requests.
+
+The reference processes exactly one utterance per process
+(/root/reference/src/zerovox.cpp:396-406); a serving daemon sees many
+concurrent independent requests.  Running each at B=1 leaves MXU
+throughput on the table: the measured batch scaling is linear (B=8 runs
+8 utterances in ~28 ms where B=1 takes ~3.5 ms each — docs/ARCHITECTURE
+§8), so under load, packing concurrent requests into one dispatch
+multiplies per-chip throughput by ~the batch size at roughly constant
+per-utterance latency.
+
+`DynamicBatcher` is the standard dynamic-batching scheme: a request
+enqueues and blocks; a dispatcher thread gathers whatever arrives within
+`window_ms` of the FIRST queued request (up to the engine's ladder top)
+and runs ONE `synthesize_packed` call — which already buckets mixed
+lengths and pads group sizes to the batch ladder, so the compile-key set
+stays exactly the warmup()-covered set.  Under no load the cost is at
+most the window (and the window only starts when a request is already
+waiting); under load batches fill before the window expires.
+
+Off by default (the measured single-request latency story stays intact);
+enable with `TTSServer(batch_window_ms=...)` / CLI `--batch-window-ms`.
+Requests are grouped by their (trim, pcm16) flags — only compatible
+requests share a dispatch.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("src", "pun", "style", "n", "key",
+                 "done", "wav", "mel_len", "error")
+
+    def __init__(self, src, pun, style, n, key):
+        self.src, self.pun, self.style, self.n = src, pun, style, n
+        self.key = key
+        self.done = threading.Event()
+        self.wav: Optional[np.ndarray] = None
+        self.mel_len: Optional[int] = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Blocking facade over TTSEngine.synthesize_packed with coalescing."""
+
+    def __init__(self, engine, window_ms: float = 5.0,
+                 max_batch: Optional[int] = None,
+                 request_timeout_s: float = 120.0):
+        self.engine = engine
+        self.window_s = float(window_ms) / 1e3
+        self.max_batch = int(max_batch or engine.batch_ladder[-1])
+        self.request_timeout_s = float(request_timeout_s)
+        self._cond = threading.Condition()
+        self._queue: List[_Pending] = []
+        self._stop = False
+        # observability (GET /metrics): dispatch count, packed request
+        # count, and the largest batch actually formed
+        self._stats_lock = threading.Lock()
+        self.stats = {"dispatches": 0, "requests": 0, "max_batch": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="zv-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------- request
+    def synthesize(self, src, pun, style, n, trim: bool = True,
+                   pcm16: bool = False) -> Tuple[np.ndarray, int]:
+        """Enqueue ONE utterance (B=1 arrays) and block for its result."""
+        item = _Pending(np.asarray(src), np.asarray(pun),
+                        np.asarray(style), np.asarray(n),
+                        key=(bool(trim), bool(pcm16)))
+        if item.src.shape[0] != 1:
+            raise ValueError("DynamicBatcher.synthesize takes one utterance "
+                             "(B=1 arrays); use engine.synthesize_packed "
+                             "for caller-assembled batches")
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
+            self._queue.append(item)
+            self._cond.notify_all()
+        if not item.done.wait(timeout=self.request_timeout_s):
+            raise TimeoutError(f"batched synthesis did not complete in "
+                               f"{self.request_timeout_s}s")
+        if item.error is not None:
+            raise item.error
+        return item.wav, item.mel_len
+
+    # ---------------------------------------------------------- dispatcher
+    def _take_batch(self) -> List[_Pending]:
+        """Block until work exists, window it, and pop one compatible
+        batch.  Runs in the dispatcher thread."""
+        with self._cond:
+            while not self._queue and not self._stop:
+                self._cond.wait()
+            if self._stop and not self._queue:
+                return []
+            key = self._queue[0].key
+            deadline = time.monotonic() + self.window_s
+            while not self._stop:
+                n_match = sum(1 for q in self._queue if q.key == key)
+                left = deadline - time.monotonic()
+                if n_match >= self.max_batch or left <= 0:
+                    break
+                self._cond.wait(timeout=left)
+            batch = [q for q in self._queue if q.key == key][: self.max_batch]
+            for q in batch:
+                self._queue.remove(q)
+            return batch
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return                     # stopped and drained
+            trim, pcm16 = batch[0].key
+            try:
+                wavs, mel_len = self.engine.synthesize_packed(
+                    np.concatenate([q.src for q in batch]),
+                    np.concatenate([q.pun for q in batch]),
+                    np.concatenate([q.style for q in batch]),
+                    np.concatenate([q.n for q in batch]),
+                    trim=trim, pcm16=pcm16)
+                for i, q in enumerate(batch):
+                    q.wav, q.mel_len = wavs[i], int(mel_len[i])
+            except BaseException as e:     # deliver failures to the waiters
+                for q in batch:
+                    q.error = e
+            finally:
+                with self._stats_lock:
+                    self.stats["dispatches"] += 1
+                    self.stats["requests"] += len(batch)
+                    self.stats["max_batch"] = max(self.stats["max_batch"],
+                                                  len(batch))
+                for q in batch:
+                    q.done.set()
+
+    def snapshot(self) -> dict:
+        with self._stats_lock:
+            return dict(self.stats)
+
+    def stop(self):
+        """Stop accepting requests; the dispatcher drains what's queued."""
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=self.request_timeout_s)

@@ -16,7 +16,9 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
   GET  /metrics      -> per-endpoint request counts, error counts, and
                         p50/p95/max latency over the last 512 requests
   POST /synthesize   -> complete WAV (query: ?trim=0 keeps the padded
-                        buffer, the reference's behavior)
+                        buffer, the reference's behavior); with
+                        batch_window_ms > 0, concurrent requests coalesce
+                        into packed device dispatches (runtime/batcher.py)
   POST /batch        -> {"utterances": [utt, ...]} -> JSON array of
                         base64 WAVs via the bucket-packed engine path
                         (one vocoder dispatch per mel bucket group,
@@ -139,7 +141,8 @@ class TTSServer:
                  mel_buckets: Sequence[int] = (256, 512, 1024),
                  chunk_frames: int = 64, overlap: int = 16,
                  warmup: bool = True,
-                 max_body_bytes: int = 4 << 20, max_batch: int = 64):
+                 max_body_bytes: int = 4 << 20, max_batch: int = 64,
+                 batch_window_ms: float = 0.0):
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
@@ -168,6 +171,16 @@ class TTSServer:
             self.engine.warmup(batch=self.engine.batch_ladder[-1],
                                pcm16=True)
             self.stream.warmup()
+
+        # dynamic batching (off by default): concurrent /synthesize
+        # requests arriving within the window share one packed dispatch —
+        # linear batch scaling makes that ~Bx per-chip throughput under
+        # load (runtime/batcher.py)
+        self.batcher = None
+        if batch_window_ms > 0:
+            from .batcher import DynamicBatcher
+            self.batcher = DynamicBatcher(self.engine,
+                                          window_ms=batch_window_ms)
 
         server = self
 
@@ -214,7 +227,10 @@ class TTSServer:
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path == "/metrics":
-                    return self._json(200, server.metrics.snapshot())
+                    snap = server.metrics.snapshot()
+                    if server.batcher is not None:
+                        snap["batcher"] = server.batcher.snapshot()
+                    return self._json(200, snap)
                 if path != "/healthz":
                     return self._json(404, {"error": "unknown endpoint"})
                 cfg = server.engine.cfg
@@ -302,9 +318,14 @@ class TTSServer:
             def _synthesize(self, url):
                 src, pun, style, n = self._read_utterance()
                 trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
-                wavs, _ = server.engine.synthesize(src, pun, style, n,
-                                                   trim=trim, pcm16=True)
-                pcm = wavs[0].tobytes()
+                if server.batcher is not None:
+                    wav, _ = server.batcher.synthesize(src, pun, style, n,
+                                                       trim=trim, pcm16=True)
+                else:
+                    wavs, _ = server.engine.synthesize(src, pun, style, n,
+                                                       trim=trim, pcm16=True)
+                    wav = wavs[0]
+                pcm = wav.tobytes()
                 sr = server.engine.cfg.sampling_rate
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -392,5 +413,7 @@ class TTSServer:
     def shutdown(self):
         self._httpd.shutdown()
         self._httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.stop()
         if self._thread is not None:
             self._thread.join(timeout=5)
