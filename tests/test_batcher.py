@@ -10,6 +10,7 @@ import http.client
 import json
 import struct
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -37,14 +38,33 @@ def _utt(rng):
             np.asarray([P], np.int32))
 
 
+class _SlowEngine:
+    """Engine wrapper adding a fixed in-flight delay, making coalescing
+    deterministic: requests submitted during a dispatch are GUARANTEED
+    to be queued when the dispatcher comes back (no scheduling luck)."""
+
+    def __init__(self, engine, delay_s):
+        self._engine = engine
+        self._delay_s = delay_s
+
+    @property
+    def batch_ladder(self):
+        return self._engine.batch_ladder
+
+    def synthesize_packed(self, *a, **kw):
+        time.sleep(self._delay_s)
+        return self._engine.synthesize_packed(*a, **kw)
+
+
 def test_concurrent_requests_coalesce_and_match(engine):
-    """4 threads submit inside one generous window -> at least one packed
-    dispatch, and every result equals the unbatched engine output."""
+    """4 threads submit together -> after the first (possibly lone)
+    dispatch, the rest coalesce during its in-flight run; every result
+    equals the unbatched engine output."""
     rng = np.random.default_rng(0)
     utts = [_utt(rng) for _ in range(4)]
     refs = [engine.synthesize(*u) for u in utts]
 
-    b = DynamicBatcher(engine, window_ms=500.0)
+    b = DynamicBatcher(_SlowEngine(engine, 0.3), window_ms=50.0)
     try:
         results = [None] * 4
         barrier = threading.Barrier(4)
@@ -64,12 +84,33 @@ def test_concurrent_requests_coalesce_and_match(engine):
             np.testing.assert_allclose(wav, ref_wavs[0], atol=1e-6)
         stats = b.snapshot()
         assert stats["requests"] == 4
-        # all 4 were in flight before the 500 ms window closed, so they
-        # must have shared dispatches (the barrier makes this determined,
-        # not timing luck, unless a worker stalls >window — in which case
-        # max_batch==1 and dispatches==4 would fail here loudly)
+        # the barrier releases all 4 within the 300 ms in-flight delay of
+        # whatever the first dispatch took, so the stragglers must have
+        # shared a dispatch
         assert stats["max_batch"] >= 2
         assert stats["dispatches"] < 4
+    finally:
+        b.stop()
+
+
+def test_idle_request_dispatches_immediately(engine):
+    """A lone request on an idle batcher must NOT wait out the window:
+    the idle fast-path dispatches it at once (the docs' zero-added-
+    latency claim)."""
+    b = DynamicBatcher(engine, window_ms=2000.0)
+    try:
+        rng = np.random.default_rng(4)
+        utt = _utt(rng)
+        b.synthesize(*utt)                      # engine warm-up hit
+        t0 = time.perf_counter()
+        b.synthesize(*utt)
+        lone = time.perf_counter() - t0
+        direct_t0 = time.perf_counter()
+        engine.synthesize(*utt)
+        direct = time.perf_counter() - direct_t0
+        # generous: well under the 2 s window, comparable to direct
+        assert lone < direct + 1.0, (lone, direct)
+        assert b.snapshot()["dispatches"] >= 2
     finally:
         b.stop()
 
@@ -108,7 +149,10 @@ def test_server_batching_end_to_end():
 
     params = init_params(CFG, seed=0)
     s = TTSServer(params, CFG, port=0, warmup=True,
-                  chunk_frames=16, overlap=8, batch_window_ms=300.0)
+                  chunk_frames=16, overlap=8, batch_window_ms=50.0)
+    # deterministic coalescing: a 300 ms in-flight delay guarantees the
+    # concurrent requests are queued when the dispatcher comes back
+    s.batcher.engine = _SlowEngine(s.engine, 0.3)
     s.start()
     try:
         host, port = s.address
@@ -147,9 +191,12 @@ def test_server_batching_end_to_end():
             assert raw[:4] == b"RIFF"
             assert struct.unpack("<I", raw[24:28])[0] == CFG.sampling_rate
             pcms.append(np.frombuffer(raw[44:], dtype=np.int16))
-        # identical inputs -> identical audio across the batch members
+        # identical inputs -> same audio across the batch members, to
+        # PCM16 resolution (members may run at different batch sizes ->
+        # different XLA programs -> last-ulp float drift, +/-1 LSB after
+        # quantisation)
         for p in pcms[1:]:
-            np.testing.assert_array_equal(p, pcms[0])
+            np.testing.assert_allclose(p, pcms[0], atol=1)
 
         c = http.client.HTTPConnection(host, port, timeout=60)
         c.request("GET", "/metrics")

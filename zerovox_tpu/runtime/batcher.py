@@ -9,14 +9,15 @@ throughput on the table: the measured batch scaling is linear (B=8 runs
 multiplies per-chip throughput by ~the batch size at roughly constant
 per-utterance latency.
 
-`DynamicBatcher` is the standard dynamic-batching scheme: a request
-enqueues and blocks; a dispatcher thread gathers whatever arrives within
-`window_ms` of the FIRST queued request (up to the engine's ladder top)
-and runs ONE `synthesize_packed` call — which already buckets mixed
-lengths and pads group sizes to the batch ladder, so the compile-key set
-stays exactly the warmup()-covered set.  Under no load the cost is at
-most the window (and the window only starts when a request is already
-waiting); under load batches fill before the window expires.
+`DynamicBatcher` is continuous batching with a fill window: a request
+enqueues and blocks; a dispatcher thread pops compatible requests (up to
+the engine's ladder top) and runs ONE `synthesize_packed` call — which
+already buckets mixed lengths and pads group sizes to the batch ladder,
+so the compile-key set stays exactly the warmup()-covered set.  A lone
+request on an idle daemon dispatches IMMEDIATELY (zero added latency);
+coalescing comes from requests that arrive while a dispatch is in
+flight, plus up to `window_ms` of extra fill time that only applies when
+the engine was already busy.
 
 Off by default (the measured single-request latency story stays intact);
 enable with `TTSServer(batch_window_ms=...)` / CLI `--batch-window-ms`.
@@ -92,21 +93,31 @@ class DynamicBatcher:
 
     # ---------------------------------------------------------- dispatcher
     def _take_batch(self) -> List[_Pending]:
-        """Block until work exists, window it, and pop one compatible
-        batch.  Runs in the dispatcher thread."""
+        """Block until work exists and pop one compatible batch.  Runs in
+        the dispatcher thread.
+
+        Policy: if the dispatcher had to SLEEP (the engine is idle), take
+        what's there immediately — a lone request on an idle daemon pays
+        zero added latency, and coalescing emerges from arrivals during
+        its in-flight run (continuous batching).  If requests accumulated
+        while the engine was busy, window up to `window_s` more to fill
+        the batch toward the ladder top before dispatching."""
         with self._cond:
+            was_idle = False
             while not self._queue and not self._stop:
+                was_idle = True
                 self._cond.wait()
             if self._stop and not self._queue:
                 return []
             key = self._queue[0].key
-            deadline = time.monotonic() + self.window_s
-            while not self._stop:
-                n_match = sum(1 for q in self._queue if q.key == key)
-                left = deadline - time.monotonic()
-                if n_match >= self.max_batch or left <= 0:
-                    break
-                self._cond.wait(timeout=left)
+            if not was_idle:
+                deadline = time.monotonic() + self.window_s
+                while not self._stop:
+                    n_match = sum(1 for q in self._queue if q.key == key)
+                    left = deadline - time.monotonic()
+                    if n_match >= self.max_batch or left <= 0:
+                        break
+                    self._cond.wait(timeout=left)
             batch = [q for q in self._queue if q.key == key][: self.max_batch]
             for q in batch:
                 self._queue.remove(q)
