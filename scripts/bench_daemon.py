@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--no-batch", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="TINY geometry (CPU smoke run of this script)")
+    ap.add_argument("--load", type=int, default=0, metavar="N",
+                    help="also measure sustained throughput with N "
+                         "concurrent clients (req/s + p50 under load)")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="enable the daemon's dynamic batching (A/B the "
+                         "--load throughput against 0)")
     args = ap.parse_args()
     if args.reps < 1:
         ap.error("--reps must be >= 1 (medians of zero measurements)")
@@ -81,7 +87,7 @@ def main():
     precision = "float32" if args.f32 else "bfloat16"
     t0 = time.perf_counter()
     server = TTSServer(params, cfg, port=args.port, precision=precision,
-                       warmup=True)
+                       warmup=True, batch_window_ms=args.batch_window_ms)
     server.start()
     print(f"bench_daemon: warmup+start {time.perf_counter()-t0:.1f}s "
           f"precision={precision}", file=sys.stderr, flush=True)
@@ -150,6 +156,43 @@ def main():
             batch.append(time.perf_counter() - t0)
             assert r.status == 200
         out["batch4_p50_ms"] = _p50(batch)
+
+    if args.load > 0:
+        # sustained throughput: N clients fire /synthesize back-to-back;
+        # with --batch-window-ms > 0 the daemon coalesces them into packed
+        # dispatches (linear batch scaling -> ~Nx per-chip throughput)
+        import threading
+        per_client = max(3, args.reps)
+        lat: list = []
+        lat_lock = threading.Lock()
+
+        def client(i):
+            mine = []
+            c = conn()
+            for _ in range(per_client):
+                t0 = time.perf_counter()
+                c.request("POST", "/synthesize", body, hdrs)
+                r = c.getresponse()
+                r.read()
+                mine.append(time.perf_counter() - t0)
+                assert r.status == 200
+            with lat_lock:
+                lat.extend(mine)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(args.load)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        out["load_clients"] = args.load
+        out["load_req_s"] = round(args.load * per_client / wall, 2)
+        out["load_p50_ms"] = _p50(lat)
+        out["batch_window_ms"] = args.batch_window_ms
+        if server.batcher is not None:
+            out["load_batcher"] = server.batcher.snapshot()
 
     server.shutdown()
     print(json.dumps(out))

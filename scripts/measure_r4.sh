@@ -28,4 +28,7 @@ run bench_b8          python bench.py --batch 8 --no-ttfa
 run bench_b1_fuse_a   python bench.py --fuse-a --no-ttfa
 run bench_b8_fuse_a   python bench.py --batch 8 --fuse-a --no-ttfa
 run daemon            python scripts/bench_daemon.py --reps 15
+# dynamic-batching A/B under 8 concurrent clients (req/s + p50)
+run daemon_load_off   python scripts/bench_daemon.py --reps 6 --no-batch --load 8
+run daemon_load_on    python scripts/bench_daemon.py --reps 6 --no-batch --load 8 --batch-window-ms 10
 echo "=== all done ($(date +%H:%M:%S)); logs in $OUT/"
