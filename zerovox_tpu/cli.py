@@ -79,6 +79,10 @@ def main(argv=None):
                          "packed device dispatch (~batch-size x per-chip "
                          "throughput under load; adds at most the window "
                          "to latency). 0 = off")
+    ap.add_argument("--mesh", default=None, metavar="DATA,1",
+                    help="with --serve: pure-DP serving over a device mesh "
+                         "(each chip runs the full pipeline on its batch "
+                         "slice; pairs with --batch-window-ms)")
     args = ap.parse_args(argv)
 
     if args.compile_cache:
@@ -103,11 +107,21 @@ def main(argv=None):
     if args.serve:
         from zerovox_tpu.runtime.server import TTSServer
         buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+        mesh = None
+        if args.mesh:
+            from zerovox_tpu.parallel import make_mesh
+            try:
+                d, m = (int(x) for x in args.mesh.split(","))
+            except ValueError:
+                ap.error(f"--mesh {args.mesh!r} is not DATA,MODEL "
+                         "(two comma-separated ints; model must be 1)")
+            mesh = make_mesh(data=d, model=m)
         server = TTSServer(params, cfg, host=args.host, port=args.port,
                            precision=args.precision, mel_buckets=buckets,
                            chunk_frames=args.chunk_frames,
                            overlap=args.overlap,
-                           batch_window_ms=args.batch_window_ms)
+                           batch_window_ms=args.batch_window_ms,
+                           mesh=mesh)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
               "(/healthz /synthesize /batch /stream)", file=sys.stderr)

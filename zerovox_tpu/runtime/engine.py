@@ -11,6 +11,12 @@ dispatches only the heavy vocoder (~90% of FLOPs) at the smallest pre-compiled
 bucket that fits.  A receptive-field margin past mel_len makes the trimmed
 audio bit-identical to the full-length run.  Buckets bound XLA recompiles to
 len(mel_buckets) programs, compiled lazily (or all at once via warmup()).
+
+Multi-chip serving: pass `mesh=` (a pure-DP jax.sharding.Mesh) and every
+front/vocoder program runs inside shard_map over the data axis — each chip
+executes the complete local pipeline on its batch slice with zero
+collectives, and the batch ladder scales by the data size so dispatches
+always split evenly.  See docs/ARCHITECTURE.md §6.
 """
 
 from __future__ import annotations
@@ -34,12 +40,38 @@ class TTSEngine:
     def __init__(self, params, cfg: ZeroVoxConfig,
                  mel_buckets: Sequence[int] = (256, 512, 1024),
                  precision: str = "float32",
-                 batch_ladder: Sequence[int] = (1, 2, 4, 8)):
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8),
+                 mesh=None):
         if precision not in ("float32", "bfloat16"):
             raise ValueError(f"unknown precision {precision!r}")
         if precision == "bfloat16":
             params = cast_params(params, jnp.bfloat16)
             cfg = cfg.replace(compute_dtype="bfloat16")
+        # mesh: pure-DP multi-chip serving.  The front and every vocoder
+        # program run inside shard_map over the mesh's data axis — each
+        # chip executes the complete local pipeline (fused Pallas kernels
+        # included; no GSPMD partitioning rule needed) on its batch slice
+        # with ZERO collectives, so a full ladder-top dispatch costs one
+        # chip's B = top/n_data wall time.  TP serving belongs to
+        # parallel.make_sharded_synthesize; the engine enforces model == 1.
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+            if mesh.shape.get(MODEL_AXIS, 1) != 1:
+                raise ValueError(
+                    "TTSEngine serves pure-DP meshes (model axis == 1); use "
+                    "parallel.make_sharded_synthesize for TP inference")
+            self._n_data = mesh.shape[DATA_AXIS]
+        # the original (unplaced) tree: StreamingSynthesizer and other
+        # single-device consumers must not inherit the mesh placement
+        self.host_params = params
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import replicated_specs
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, replicated_specs(params))
         self.params = params
         self.cfg = cfg
         # Truncating the mel at `bucket` only perturbs vocoder outputs within
@@ -59,10 +91,16 @@ class TTSEngine:
             raise ValueError("batch_ladder must be non-empty")
         self.batch_ladder: Tuple[int, ...] = tuple(sorted(set(
             int(b) for b in batch_ladder)))
+        if self._n_data > 1:
+            # every dispatch must split evenly over the data axis: scale
+            # the ladder so each rung is a whole number of rows per chip
+            # (a B=1 request pads to n_data rows but runs in one chip's
+            # B=1 wall time — the padding rows ride the other chips)
+            self.batch_ladder = tuple(s * self._n_data
+                                      for s in self.batch_ladder)
 
         cfg_ = cfg
 
-        @jax.jit
         def front(params, src_seq, puncts, style_embed, num_phonemes):
             mask = (fs2_encoder.phoneme_mask(num_phonemes, src_seq.shape[-1])
                     if cfg_.use_attention_mask else None)
@@ -79,10 +117,31 @@ class TTSEngine:
             mel = styletts_decoder.decode(params, cfg_, hidden, style_embed)
             return mel, mel_len
 
-        self._front = front
+        self._front = jax.jit(self._shard_over_data(
+            front, n_batch_args=4, n_outs=2))
         self._back: Dict[int, callable] = {}
         # engines are shared across serving threads; guard the compile cache
         self._lock = threading.Lock()
+
+    def _shard_over_data(self, fn, n_batch_args: int, n_outs: int):
+        """Identity without a mesh; with one, shard_map `fn` over the data
+        axis: params replicated, every batch arg/output split on axis 0.
+        Each shard runs the complete local program (the fused Pallas
+        kernels need no GSPMD partitioning rule this way) — the engine's
+        ladder guarantees batch % n_data == 0."""
+        if self.mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        rep = jax.tree.map(lambda _: P(), self.params)
+        data = P(DATA_AXIS)
+        outs = (data,) * n_outs if n_outs > 1 else data
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(rep,) + (data,) * n_batch_args,
+            out_specs=outs,
+            check_vma=False,   # pallas_call has no varying-mesh-axes rule
+        )
 
     def _back_fn(self, bucket: int, pcm16: bool = False):
         """Vocoder program specialised to `bucket` mel frames.
@@ -98,7 +157,6 @@ class TTSEngine:
             if key not in self._back:
                 cfg_ = self.cfg
 
-                @jax.jit
                 def back(params, mel_b):
                     wav = hifigan.vocode(params, cfg_, mel_b)
                     if pcm16:
@@ -106,8 +164,25 @@ class TTSEngine:
                         wav = float_to_pcm16_device(wav)
                     return wav
 
-                self._back[key] = back
+                self._back[key] = jax.jit(self._shard_over_data(
+                    back, n_batch_args=1, n_outs=1))
             return self._back[key]
+
+    def _data_sharded(self, x):
+        """Mesh mode: pin x to the data-axis sharding the jitted programs
+        were compiled under (warmup's layout).  Regrouped/gathered mels
+        (jnp.take across shards) otherwise carry a different input
+        sharding, and jit keys on sharding — a fresh compile for a shape
+        warmup already covered (the multi-minute tunnel stall the ladder
+        exists to prevent)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        # P(DATA_AXIS), not P(DATA_AXIS, None, ...): the specs compare
+        # unequal as jit cache keys even though they shard identically,
+        # and shard_map outputs carry the short form
+        return jax.device_put(x, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     def pick_bucket(self, mel_len: int) -> int:
         """Smallest bucket covering mel_len + the vocoder receptive field."""
@@ -173,25 +248,38 @@ class TTSEngine:
         back; it just skips the bucket compute saving, which at B=1 is ~5 ms
         against the ~30 ms RTT it removes (the streaming TTFA trick,
         models/streaming.py).  The one-fetch trick needs the whole batch in
-        ONE vocoder dispatch, so it only engages when the batch size is
-        already a ladder size: off-ladder batches fall through to the
-        ladder-split path even with single_rtt=True (compile keys stay
-        bounded; the extra RTTs only hit unusual batch sizes).  With
-        single_rtt off, the whole batch vocodes at the bucket of its longest
-        utterance; for mixed-length batches use synthesize_packed(), which
-        routes each bucket group separately.
+        ONE vocoder dispatch, so it engages for any batch up to the ladder
+        top (padded to the ladder — compile keys stay bounded); larger
+        batches fall through to the ladder-split path even with
+        single_rtt=True.  With single_rtt off, the whole batch vocodes at
+        the bucket of its longest utterance; for mixed-length batches use
+        synthesize_packed(), which routes each bucket group separately.
         """
         B0 = int(np.shape(src_seq)[0])   # no device transfer just for shape
+        if B0 == 0:
+            raise ValueError("empty batch")
         if single_rtt is None:
             single_rtt = B0 == 1
-        if single_rtt and B0 in self.batch_ladder:
-            mel, mel_len = self._dispatch_front(
-                src_seq, puncts, style_embed, num_phonemes)
+        if single_rtt and B0 <= self.batch_ladder[-1]:
+            cfg = self.cfg
+            src = jnp.asarray(src_seq, jnp.int32)
+            pun = jnp.asarray(puncts, jnp.int32)
+            sty = jnp.asarray(style_embed, jnp.float32)
+            nph = (jnp.full((B0,), cfg.max_n_phonemes, jnp.int32)
+                   if num_phonemes is None
+                   else jnp.asarray(num_phonemes, jnp.int32))
+            (padded, _), = self._ladder_chunks(range(B0))
+            if len(padded) != B0:          # pad rows up to the ladder size
+                idx = jnp.asarray(padded, jnp.int32)
+                src, pun, sty, nph = (jnp.take(a, idx, axis=0)
+                                      for a in (src, pun, sty, nph))
+            mel, mel_len = self._front(self.params, src, pun, sty, nph)
             bucket = self.mel_buckets[-1]
-            wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
+            wav = self._back_fn(bucket, pcm16)(
+                self.params, self._data_sharded(mel[:, :bucket]))
             wav_h, mel_len_h = jax.device_get((wav, mel_len))   # ONE fetch
-            wav_h = self._host_wav(wav_h, pcm16)
-            mel_len_h = np.asarray(mel_len_h)
+            wav_h = self._host_wav(wav_h, pcm16)[:B0]
+            mel_len_h = np.asarray(mel_len_h)[:B0]
             return self._trim(wav_h, mel_len_h, trim), mel_len_h
 
         mel, mel_len_h = self._run_front(
@@ -236,8 +324,8 @@ class TTSEngine:
         for bucket, idxs in groups.items():
             for padded, n in self._ladder_chunks(idxs):
                 mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
-                wav = self._back_fn(bucket, pcm16)(self.params,
-                                                   mel_g[:, :bucket])
+                wav = self._back_fn(bucket, pcm16)(
+                    self.params, self._data_sharded(mel_g[:, :bucket]))
                 wav_h = self._host_wav(jax.device_get(wav), pcm16)
                 for k, i in enumerate(padded[:n]):
                     w = wav_h[k]
@@ -300,12 +388,14 @@ class TTSEngine:
         batch."""
         B = mel.shape[0]
         if B in self.batch_ladder:             # fast path: no index shuffle
-            wav = self._back_fn(bucket, pcm16)(self.params, mel[:, :bucket])
+            wav = self._back_fn(bucket, pcm16)(
+                self.params, self._data_sharded(mel[:, :bucket]))
             return self._host_wav(jax.device_get(wav), pcm16)
         outs = []
         for padded, n in self._ladder_chunks(range(B)):
             mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
-            wav = self._back_fn(bucket, pcm16)(self.params, mel_g[:, :bucket])
+            wav = self._back_fn(bucket, pcm16)(
+                self.params, self._data_sharded(mel_g[:, :bucket]))
             outs.append(self._host_wav(jax.device_get(wav), pcm16)[:n])
         return np.concatenate(outs, axis=0)
 

@@ -142,7 +142,7 @@ class TTSServer:
                  chunk_frames: int = 64, overlap: int = 16,
                  warmup: bool = True,
                  max_body_bytes: int = 4 << 20, max_batch: int = 64,
-                 batch_window_ms: float = 0.0):
+                 batch_window_ms: float = 0.0, mesh=None):
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
@@ -151,12 +151,16 @@ class TTSServer:
         self.max_body_bytes = int(max_body_bytes)
         self.max_batch = int(max_batch)
         self.metrics = Metrics()
+        # mesh: pure-DP multi-chip serving — the engine shard_maps its
+        # front/vocoder programs over the data axis (engine.py); pairs
+        # naturally with dynamic batching, which fills the wider ladder
         self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
-                                precision=precision)
+                                precision=precision, mesh=mesh)
         # the engine may have cast params/cfg for bf16 serving; the
-        # streaming synthesizer must share that state
+        # streaming synthesizer must share that state (host_params: the
+        # stream's one-utterance chunk programs stay single-device)
         self.stream = StreamingSynthesizer(
-            self.engine.params, self.engine.cfg,
+            self.engine.host_params, self.engine.cfg,
             chunk_frames=chunk_frames, overlap=overlap,
             pcm16=True)   # chunks arrive device-quantised (half the bytes)
         self._stream_lock = threading.Lock()
