@@ -119,6 +119,64 @@ def test_train_grad_with_pallas_selecting_backend(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_grad_accumulation_matches_full_batch(rng):
+    """accum_steps scans the batch as microbatches inside one jitted step
+    (ggml-opt's opt_period equivalent).  With identical per-row mask
+    counts (same durations/num_phonemes on every row), the averaged
+    microbatch grads equal the full-batch grads, so one SGD step lands on
+    the same params (SGD, not Adam: Adam normalizes by sqrt(v), which
+    amplifies float-reassociation noise wherever grad ~ 0)."""
+    import optax
+
+    B = 8
+    params = init_params(CFG, seed=3)
+    src, pun, style = _batch_inputs(rng, B)
+    dur_row = rng.integers(1, 4, size=(1, CFG.max_n_phonemes))
+    batch = TrainBatch(
+        src_seq=src, puncts=pun, style_embed=style,
+        num_phonemes=jnp.full((B,), CFG.max_n_phonemes, dtype=jnp.int32),
+        durations=jnp.asarray(np.tile(dur_row, (B, 1)), jnp.int32),
+        mel_target=jnp.asarray(
+            rng.normal(size=(B, CFG.max_seq_len, CFG.num_mels)), jnp.float32),
+        wav_target=jnp.asarray(
+            rng.normal(scale=0.1, size=(B, CFG.wav_len)), jnp.float32),
+    )
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    sgd = optax.sgd(1e-3)
+
+    # use_stft=False: mel/duration losses are per-row masked means, so the
+    # microbatch average is EXACTLY the full-batch loss.  (The STFT
+    # spectral-convergence term normalizes by the batch-global Frobenius
+    # norm — not row-decomposable — so under accumulation it averages
+    # per-microbatch SC, the same semantics as ggml-opt's per-call
+    # accumulation; smoke-tested below.)
+    outs = {}
+    for accum in (1, 4):
+        state, step = make_sharded_train_step(
+            CFG, mesh, params, optimizer=sgd, use_stft=False,
+            accum_steps=accum)
+        state, losses = step(state, shard_batch(batch, mesh))
+        outs[accum] = (state.params, losses)
+
+    l1, l4 = outs[1][1], outs[4][1]
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l4[k]),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[1][0]), jax.tree.leaves(outs[4][0])):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+    # with the STFT loss (grad through the vocoder) accumulation still
+    # runs and converges to finite losses
+    state, step = make_sharded_train_step(
+        CFG, mesh, params, optimizer=sgd,
+        stft_resolutions=((128, 15, 60),), accum_steps=2)
+    state, losses = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(losses["total"]))
+    assert int(state.step) == 1
+
+
 def test_fit_epoch_driver(rng, tmp_path):
     """training.fit mirrors ggml_opt_fit (/root/reference/ggml/src/
     ggml-opt.cpp:779-843): epoch loop over an in-memory dataset with a

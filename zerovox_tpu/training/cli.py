@@ -90,6 +90,10 @@ def main(argv=None):
                          "gradient; much cheaper)")
     ap.add_argument("--mesh", default=None, metavar="DATA,MODEL",
                     help="device mesh split (default: all devices on data)")
+    ap.add_argument("--accum", type=int, default=1, metavar="K",
+                    help="gradient accumulation: scan each step's batch as "
+                         "K microbatches (activation memory of batch/K "
+                         "rows; ggml-opt's opt_period equivalent)")
     ap.add_argument("--checkpoint-dir",
                     help="orbax TrainState checkpoints; an existing dir "
                          "resumes from its latest step")
@@ -162,6 +166,13 @@ def main(argv=None):
     if args.batch_size % d:
         raise SystemExit(f"--batch-size {args.batch_size} must divide by the "
                          f"data-axis size {d}")
+    if args.accum < 1:
+        raise SystemExit(f"--accum must be >= 1 (got {args.accum})")
+    if args.accum > 1 and args.batch_size % (args.accum * d):
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide by "
+            f"accum*data = {args.accum}*{d} (each microbatch is "
+            f"batch/accum rows, still sharded over the data axis)")
 
     use_stft = not args.no_stft
     # small geometries need STFT windows that fit their waveform
@@ -170,7 +181,7 @@ def main(argv=None):
     optimizer = make_optimizer(args.lr, args.weight_decay)
     state, step = make_sharded_train_step(
         cfg, mesh, params, optimizer=optimizer, use_stft=use_stft,
-        stft_resolutions=stft_res)
+        stft_resolutions=stft_res, accum_steps=args.accum)
     eval_fn = (make_eval_fn(cfg, mesh, use_stft=use_stft,
                             stft_resolutions=stft_res)
                if args.val_split > 0 else None)

@@ -88,12 +88,57 @@ def loss_fn(params, cfg: ZeroVoxConfig, batch: TrainBatch,
 
 def train_step(state: TrainState, batch: TrainBatch, cfg: ZeroVoxConfig,
                optimizer: optax.GradientTransformation,
-               use_stft: bool = True, stft_resolutions=None
+               use_stft: bool = True, stft_resolutions=None,
+               accum_steps: int = 1
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step.
+
+    accum_steps > 1 is gradient accumulation (the capability of ggml-opt's
+    opt_period, /root/reference/ggml/include/ggml-opt.h:102 — there a
+    counter across calls; here, TPU-idiomatically, a lax.scan over
+    microbatches inside ONE jitted step, so activation memory is that of
+    batch/accum_steps rows while the optimizer sees the full batch).
+    Microbatch grads/losses are averaged.  Requires the leading batch dim
+    divisible by accum_steps.  The per-row masked losses (mel, duration)
+    make the average EXACTLY the full-batch loss; the STFT
+    spectral-convergence term normalizes by a batch-global norm, so under
+    accumulation it averages per-microbatch SC — the same semantics as
+    ggml-opt accumulating per-call losses.
+    """
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, losses), grads = grad_fn(state.params, cfg, batch,
-                                 use_stft=use_stft,
-                                 stft_resolutions=stft_resolutions)
+
+    def gf(params, b):
+        return grad_fn(params, cfg, b, use_stft=use_stft,
+                       stft_resolutions=stft_resolutions)
+
+    if accum_steps <= 1:
+        (_, losses), grads = gf(state.params, batch)
+    else:
+        B = batch.src_seq.shape[0]
+        if B % accum_steps:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"accum_steps={accum_steps}")
+        micro = B // accum_steps
+        mb = jax.tree.map(
+            lambda x: x.reshape((accum_steps, micro) + x.shape[1:]), batch)
+        micro_struct = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), mb)
+        (_, l_shape), g_shape = jax.eval_shape(gf, state.params, micro_struct)
+        zeros = lambda tree: jax.tree.map(            # noqa: E731
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        def body(carry, b):
+            g_acc, l_acc = carry
+            (_, losses), grads = gf(state.params, TrainBatch(*b))
+            return (jax.tree.map(jnp.add, g_acc, grads),
+                    jax.tree.map(jnp.add, l_acc, losses)), None
+
+        (g_sum, l_sum), _ = jax.lax.scan(body, (zeros(g_shape),
+                                                zeros(l_shape)), mb)
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * jnp.asarray(inv, g.dtype), g_sum)
+        losses = jax.tree.map(lambda l: l * jnp.asarray(inv, l.dtype), l_sum)
+
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), losses
@@ -108,11 +153,14 @@ def _batch_shardings(mesh: Mesh):
 def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
                             optimizer: Optional[optax.GradientTransformation] = None,
                             use_tp: bool = True, use_stft: bool = True,
-                            stft_resolutions=None):
+                            stft_resolutions=None, accum_steps: int = 1):
     """Build (init_state, jitted_step) with dp/tp shardings on `mesh`.
 
     Returns (state, step_fn); state params/opt_state live sharded on the mesh,
     batches are expected sharded on the data axis (parallel.shard_batch).
+    accum_steps > 1 splits each step's batch into that many scanned
+    microbatches (gradient accumulation — batch/accum_steps activation
+    memory; each microbatch must still divide the data axis).
     """
     optimizer = optimizer or make_optimizer()
     p_specs = (param_partition_specs(params, cfg) if use_tp
@@ -143,7 +191,7 @@ def make_sharded_train_step(cfg: ZeroVoxConfig, mesh: Mesh, params,
 
     step = jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer, use_stft=use_stft,
-                stft_resolutions=stft_resolutions),
+                stft_resolutions=stft_resolutions, accum_steps=accum_steps),
         in_shardings=(None, batch_sharding),
     )
     return state, step
