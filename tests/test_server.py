@@ -8,13 +8,17 @@ framing), schema errors, and stream-vs-oneshot sample equality.
 
 import http.client
 import json
+import signal
 import struct
+import subprocess
+import sys
+import time
 
 import numpy as np
 import pytest
 
 from zerovox_tpu.config import TINY_CONFIG
-from zerovox_tpu.params import init_params
+from zerovox_tpu.params import init_params, save_params
 from zerovox_tpu.runtime.server import TTSServer, utterance_from_dict
 
 
@@ -215,6 +219,42 @@ def test_unexpected_exception_yields_500(server):
     c.request("GET", "/metrics")
     m = json.loads(c.getresponse().read())
     assert m["endpoints"]["/synthesize"]["errors"] >= 1
+
+
+def test_cli_serve_sigterm_graceful(tmp_path):
+    """Orchestrators stop containers with SIGTERM: the CLI daemon must
+    drain and exit 0, not die with a traceback/non-zero rc mid-request."""
+    import os
+    model = tmp_path / "m.gguf"
+    save_params(str(model), init_params(TINY_CONFIG, seed=0), TINY_CONFIG)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from zerovox_tpu.cli import main; import sys; sys.exit(main())",
+         "--model", str(model), "--serve", "--port", "0"],
+        stderr=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        port = None
+        deadline = time.time() + 300          # warmup compiles
+        while time.time() < deadline:
+            line = proc.stderr.readline()
+            if not line:
+                break
+            if line.startswith("serving on http://"):
+                port = int(line.split(":")[2].split()[0].rstrip("/"))
+                break
+        assert port, "daemon never reported its address"
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("GET", "/healthz")
+        assert c.getresponse().status == 200
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.stderr.close()
 
 
 def test_batch_endpoint(server):

@@ -29,6 +29,31 @@ def test_dataset_npz_roundtrip_and_validation(tmp_path):
         load_dataset_npz(str(tmp_path / "miss.npz"), CFG)
 
 
+def test_lr_schedule():
+    """make_lr_schedule: cosine warms up linearly to the peak, decays to
+    peak/10; constant+warmup holds the peak; plain constant is a float
+    (all valid make_optimizer learning rates)."""
+    import jax.numpy as jnp
+    from zerovox_tpu.training import make_lr_schedule, make_optimizer
+
+    s = make_lr_schedule(1e-3, 100, schedule="cosine", warmup_steps=10)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 1e-4, rtol=1e-5)
+
+    assert make_lr_schedule(1e-3, 100) == 1e-3
+
+    w = make_lr_schedule(1e-3, 100, warmup_steps=5)
+    assert float(w(0)) == 0.0
+    np.testing.assert_allclose(float(w(50)), 1e-3, rtol=1e-6)
+
+    opt = make_optimizer(s)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
 def test_train_cli_end_to_end_and_resume(tmp_path):
     """python -m zerovox_tpu.training.cli on the virtual mesh: trains at
     TINY, checkpoints, exports a loadable GGUF — and a second invocation

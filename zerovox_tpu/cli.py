@@ -124,7 +124,16 @@ def main(argv=None):
                            mesh=mesh)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
-              "(/healthz /synthesize /batch /stream)", file=sys.stderr)
+              "(/healthz /metrics /synthesize /batch /stream)",
+              file=sys.stderr)
+        # orchestrators stop containers with SIGTERM: drain cleanly (stop
+        # accepting, finish in-flight batcher work) instead of dying
+        # mid-chunk on a /stream response
+        import signal
+        import threading
+        signal.signal(signal.SIGTERM,
+                      lambda *_: threading.Thread(
+                          target=server.shutdown, daemon=True).start())
         try:
             server.serve_forever()
         except KeyboardInterrupt:

@@ -84,6 +84,12 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--val-split", type=float, default=0.0)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                    default="constant",
+                    help="cosine: linear warmup then cosine decay to "
+                         "lr/10 over the run's total optimizer steps")
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear LR warmup steps (either schedule)")
     ap.add_argument("--weight-decay", type=float, default=1e-2)
     ap.add_argument("--no-stft", action="store_true",
                     help="skip the multi-resolution STFT loss (no vocoder "
@@ -119,7 +125,8 @@ def main(argv=None):
     from ..parallel import initialize_distributed, make_mesh, make_pod_mesh
     from .checkpoint import CheckpointManager, export_weights_gguf
     from .fit import fit, make_eval_fn
-    from .train import make_optimizer, make_sharded_train_step
+    from .train import (make_lr_schedule, make_optimizer,
+                        make_sharded_train_step)
 
     # multi-host launch: every host runs this same command with
     # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set
@@ -178,7 +185,11 @@ def main(argv=None):
     # small geometries need STFT windows that fit their waveform
     stft_res = (((256, 30, 120), (128, 15, 60))
                 if cfg.wav_len < 16384 else None)
-    optimizer = make_optimizer(args.lr, args.weight_decay)
+    n_train = max(1, int(round(ndata * (1.0 - args.val_split))))
+    total_steps = max(1, n_train // args.batch_size) * args.epochs
+    lr = make_lr_schedule(args.lr, total_steps, schedule=args.lr_schedule,
+                          warmup_steps=args.warmup_steps)
+    optimizer = make_optimizer(lr, args.weight_decay)
     state, step = make_sharded_train_step(
         cfg, mesh, params, optimizer=optimizer, use_stft=use_stft,
         stft_resolutions=stft_res, accum_steps=args.accum)

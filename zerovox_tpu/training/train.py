@@ -39,8 +39,32 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-2,
+def make_lr_schedule(peak_lr: float, total_steps: int,
+                     schedule: str = "constant", warmup_steps: int = 0,
+                     end_scale: float = 0.1):
+    """Learning-rate schedule: "constant" (optional linear warmup) or
+    "cosine" (linear warmup -> cosine decay to peak*end_scale over
+    total_steps).  Returns a float or an optax schedule — both are valid
+    `learning_rate` values for make_optimizer."""
+    if schedule not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr schedule {schedule!r}")
+    warmup_steps = min(int(warmup_steps), max(int(total_steps) - 1, 0))
+    if schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak_lr, warmup_steps=warmup_steps,
+            decay_steps=max(int(total_steps), 1),
+            end_value=peak_lr * end_scale)
+    if warmup_steps > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak_lr, warmup_steps),
+             optax.constant_schedule(peak_lr)], [warmup_steps])
+    return peak_lr
+
+
+def make_optimizer(learning_rate=1e-4, weight_decay: float = 1e-2,
                    clip_norm: float = 1.0) -> optax.GradientTransformation:
+    """AdamW + global-norm clip.  learning_rate may be a float or an optax
+    schedule (make_lr_schedule)."""
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(learning_rate, b1=0.9, b2=0.98, weight_decay=weight_decay),
