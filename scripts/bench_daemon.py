@@ -164,20 +164,24 @@ def main():
         import threading
         per_client = max(3, args.reps)
         lat: list = []
+        failures = [0]
         lat_lock = threading.Lock()
 
         def client(i):
-            mine = []
+            mine, failed = [], 0
             c = conn()
             for _ in range(per_client):
                 t0 = time.perf_counter()
                 c.request("POST", "/synthesize", body, hdrs)
                 r = c.getresponse()
                 r.read()
+                if r.status != 200:      # count, don't credit, keep going
+                    failed += 1
+                    continue
                 mine.append(time.perf_counter() - t0)
-                assert r.status == 200
             with lat_lock:
                 lat.extend(mine)
+                failures[0] += failed
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(args.load)]
@@ -187,9 +191,13 @@ def main():
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
+        # throughput counts only COMPLETED requests — a failure must not
+        # inflate the recorded req/s
         out["load_clients"] = args.load
-        out["load_req_s"] = round(args.load * per_client / wall, 2)
-        out["load_p50_ms"] = _p50(lat)
+        out["load_completed"] = len(lat)
+        out["load_failures"] = failures[0]
+        out["load_req_s"] = round(len(lat) / wall, 2)
+        out["load_p50_ms"] = _p50(lat) if lat else None
         out["batch_window_ms"] = args.batch_window_ms
         if server.batcher is not None:
             out["load_batcher"] = server.batcher.snapshot()

@@ -109,12 +109,15 @@ def main(argv=None):
         buckets = tuple(int(b) for b in args.buckets.split(",") if b)
         mesh = None
         if args.mesh:
-            from zerovox_tpu.parallel import make_mesh
+            from zerovox_tpu.parallel import make_mesh, parse_mesh_spec
             try:
-                d, m = (int(x) for x in args.mesh.split(","))
-            except ValueError:
-                ap.error(f"--mesh {args.mesh!r} is not DATA,MODEL "
-                         "(two comma-separated ints; model must be 1)")
+                d, m = parse_mesh_spec(args.mesh)
+            except ValueError as e:
+                ap.error(str(e))
+            if m != 1:
+                ap.error(f"--mesh {args.mesh!r}: serving runs pure-DP "
+                         "meshes (model axis must be 1); TP inference is "
+                         "parallel.make_sharded_synthesize")
             mesh = make_mesh(data=d, model=m)
         server = TTSServer(params, cfg, host=args.host, port=args.port,
                            precision=args.precision, mel_buckets=buckets,
@@ -126,18 +129,23 @@ def main(argv=None):
         print(f"serving on http://{host}:{port} "
               "(/healthz /metrics /synthesize /batch /stream)",
               file=sys.stderr)
-        # orchestrators stop containers with SIGTERM: drain cleanly (stop
-        # accepting, finish in-flight batcher work) instead of dying
-        # mid-chunk on a /stream response
+        # orchestrators stop containers with SIGTERM: drain cleanly
+        # instead of dying with a traceback.  The handler only UNBLOCKS
+        # serve_forever (from a helper thread — BaseServer.shutdown
+        # deadlocks if called on the thread running serve_forever); the
+        # MAIN thread then performs the actual drain (close the listener,
+        # stop the batcher after it finishes queued work) so the process
+        # cannot exit before the drain runs.
         import signal
         import threading
         signal.signal(signal.SIGTERM,
                       lambda *_: threading.Thread(
-                          target=server.shutdown, daemon=True).start())
+                          target=server._httpd.shutdown, daemon=True).start())
         try:
             server.serve_forever()
         except KeyboardInterrupt:
-            server.shutdown()
+            pass
+        server.shutdown()
         return 0
 
     if args.input:

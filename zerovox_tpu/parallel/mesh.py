@@ -43,3 +43,19 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 
 def single_device_mesh() -> Mesh:
     return make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+
+def parse_mesh_spec(spec: str) -> Tuple[int, int]:
+    """Parse a CLI "DATA,MODEL" mesh string -> (data, model).
+
+    Shared by the serving and training CLIs so the syntax and error text
+    cannot drift.  Raises ValueError with a user-facing message.
+    """
+    try:
+        d, m = (int(x) for x in spec.split(","))
+    except ValueError:
+        raise ValueError(f"--mesh {spec!r} is not DATA,MODEL "
+                         "(two comma-separated ints, e.g. --mesh 4,2)")
+    if d < 1 or m < 1:
+        raise ValueError(f"--mesh {spec!r}: axis sizes must be >= 1")
+    return d, m

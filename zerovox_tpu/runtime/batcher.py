@@ -85,6 +85,13 @@ class DynamicBatcher:
             self._queue.append(item)
             self._cond.notify_all()
         if not item.done.wait(timeout=self.request_timeout_s):
+            # dequeue the abandoned request if the dispatcher has not
+            # taken it yet — otherwise a stalled engine unwedges into
+            # packed dispatches nobody is waiting on, serialized ahead
+            # of the clients' retries
+            with self._cond:
+                if item in self._queue:
+                    self._queue.remove(item)
             raise TimeoutError(f"batched synthesis did not complete in "
                                f"{self.request_timeout_s}s")
         if item.error is not None:

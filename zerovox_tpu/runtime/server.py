@@ -306,15 +306,21 @@ class TTSServer:
                     # pathological numeric payload, which numpy raises
                     # OUTSIDE the ValueError family) must still produce an
                     # HTTP error and an accurate metrics row — not a dead
-                    # handler thread recorded as a 200
+                    # handler thread recorded as a 200.  Detail goes to the
+                    # server log only: exception text can carry paths/
+                    # shapes/internals a network client has no business
+                    # seeing
+                    import sys
+                    import traceback
+                    print(f"server: 500 on {url.path}: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    traceback.print_exc()
                     self._status = 500
                     if self._body_started:
                         self.close_connection = True
                         return
                     try:
-                        return self._json(500, {
-                            "error": f"internal error: "
-                                     f"{type(e).__name__}: {e}"})
+                        return self._json(500, {"error": "internal error"})
                     except OSError:
                         self.close_connection = True
                         return

@@ -151,11 +151,11 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     if args.mesh:
+        from ..parallel import parse_mesh_spec
         try:
-            d, m = (int(x) for x in args.mesh.split(","))
-        except ValueError:
-            ap.error(f"--mesh {args.mesh!r} is not DATA,MODEL "
-                     "(two comma-separated ints, e.g. --mesh 4,2)")
+            d, m = parse_mesh_spec(args.mesh)
+        except ValueError as e:
+            ap.error(str(e))
     else:
         d, m = n_dev, 1
     if distributed:
@@ -175,6 +175,9 @@ def main(argv=None):
                          f"data-axis size {d}")
     if args.accum < 1:
         raise SystemExit(f"--accum must be >= 1 (got {args.accum})")
+    if args.warmup_steps < 0:
+        raise SystemExit(f"--warmup-steps must be >= 0 "
+                         f"(got {args.warmup_steps})")
     if args.accum > 1 and args.batch_size % (args.accum * d):
         raise SystemExit(
             f"--batch-size {args.batch_size} must divide by "
@@ -185,8 +188,11 @@ def main(argv=None):
     # small geometries need STFT windows that fit their waveform
     stft_res = (((256, 30, 120), (128, 15, 60))
                 if cfg.wav_len < 16384 else None)
-    n_train = max(1, int(round(ndata * (1.0 - args.val_split))))
-    total_steps = max(1, n_train // args.batch_size) * args.epochs
+    # the schedule horizon must match fit()'s actual step count: fit
+    # splits BATCHES, not rows (fit.py: nbatches = ndata // batch;
+    # train batches = int((1 - val_split) * nbatches))
+    nbatches = max(1, ndata // args.batch_size)
+    total_steps = max(1, int((1.0 - args.val_split) * nbatches)) * args.epochs
     lr = make_lr_schedule(args.lr, total_steps, schedule=args.lr_schedule,
                           warmup_steps=args.warmup_steps)
     optimizer = make_optimizer(lr, args.weight_decay)

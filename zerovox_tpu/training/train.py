@@ -48,6 +48,10 @@ def make_lr_schedule(peak_lr: float, total_steps: int,
     `learning_rate` values for make_optimizer."""
     if schedule not in ("constant", "cosine"):
         raise ValueError(f"unknown lr schedule {schedule!r}")
+    if warmup_steps < 0:
+        # optax would silently build a shifted schedule (join boundary
+        # at a negative step) — wrong LR from step 0 with no error
+        raise ValueError(f"warmup_steps must be >= 0 (got {warmup_steps})")
     warmup_steps = min(int(warmup_steps), max(int(total_steps) - 1, 0))
     if schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
