@@ -95,6 +95,19 @@ def main():
         print(err, file=sys.stderr)
         return 2
 
+    # persistent compile cache: the production programs are identical
+    # across bench runs/legs, and a first tunnel compile costs minutes —
+    # cache under .cache/ so only the first leg of a battery pays it.
+    # Harmless if the backend can't serialize (jax swallows cache errors).
+    try:
+        from zerovox_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(os.environ.get(
+            "ZV_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "xla-cache")))
+    except OSError as e:
+        print(f"bench: compile cache unavailable ({e})", file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
     from zerovox_tpu.config import ZeroVoxConfig

@@ -66,6 +66,19 @@ def main():
     if args.reps < 1:
         ap.error("--reps must be >= 1 (medians of zero measurements)")
 
+    import os
+    try:
+        # shared with bench.py: only the first battery leg pays the
+        # multi-minute tunnel compiles (jax swallows cache errors)
+        from zerovox_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(os.environ.get(
+            "ZV_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".cache", "xla-cache")))
+    except OSError as e:
+        print(f"bench_daemon: compile cache unavailable ({e})",
+              file=sys.stderr)
+
     from zerovox_tpu.config import TINY_CONFIG, ZeroVoxConfig
     from zerovox_tpu.params import init_params, load_params
     from zerovox_tpu.runtime.server import TTSServer
