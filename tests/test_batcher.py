@@ -141,6 +141,87 @@ def test_batcher_rejects_multi_utterance(engine):
         b.stop()
 
 
+def test_server_soak_mixed_endpoints():
+    """Soak: 8 clients x 12 mixed requests (synthesize / batch / stream /
+    metrics / malformed) against a batching daemon — every response is a
+    sane status, and the server leaks neither threads nor sockets."""
+    import os
+    import threading
+    from zerovox_tpu.runtime.server import TTSServer
+
+    params = init_params(CFG, seed=0)
+    s = TTSServer(params, CFG, port=0, warmup=True,
+                  chunk_frames=16, overlap=8, batch_window_ms=10.0,
+                  max_batch=4)
+    s.start()
+    try:
+        host, port = s.address
+        rng = np.random.default_rng(7)
+        utt = json.dumps({
+            "phonemes": rng.integers(1, CFG.num_phonemes,
+                                     size=CFG.max_n_phonemes).tolist(),
+            "puncts": rng.integers(0, CFG.num_puncts,
+                                   size=CFG.max_n_phonemes).tolist(),
+            "style": rng.normal(scale=0.05, size=CFG.d_model)
+                        .astype(np.float32).tolist(),
+        }).encode()
+        batch_body = json.dumps(
+            {"utterances": [json.loads(utt)] * 2}).encode()
+        plan = [("POST", "/synthesize", utt, 200),
+                ("POST", "/batch", batch_body, 200),
+                ("POST", "/stream", utt, 200),
+                ("GET", "/metrics", None, 200),
+                ("POST", "/synthesize", b"{]", 400),
+                ("POST", "/nope", b"{}", 404)]
+        errors = []
+
+        def client(i):
+            try:
+                for k in range(12):
+                    method, path, body, want = plan[(i + k) % len(plan)]
+                    c = http.client.HTTPConnection(host, port, timeout=240)
+                    if method == "GET":
+                        c.request("GET", path)
+                    else:
+                        c.request("POST", path, body,
+                                  {"Content-Type": "application/json"})
+                    r = c.getresponse()
+                    r.read()
+                    if r.status != want:
+                        errors.append((i, k, path, r.status, want))
+                    c.close()
+            except Exception as e:      # noqa: BLE001
+                errors.append((i, "exc", repr(e)))
+
+        # settle, then measure baseline AFTER one warm pass of each kind
+        for method, path, body, _ in plan:
+            c = http.client.HTTPConnection(host, port, timeout=240)
+            (c.request("GET", path) if method == "GET"
+             else c.request("POST", path, body,
+                            {"Content-Type": "application/json"}))
+            c.getresponse().read()
+            c.close()
+        time.sleep(1.0)
+        threads_before = threading.active_count()
+        fds_before = len(os.listdir("/proc/self/fd"))
+
+        workers = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in workers:
+            t.start()
+        for t in workers:
+            t.join(timeout=600)
+        assert not errors, errors[:5]
+
+        time.sleep(2.0)     # let handler threads retire
+        assert threading.active_count() <= threads_before + 2, (
+            threads_before, threading.active_count())
+        assert len(os.listdir("/proc/self/fd")) <= fds_before + 8, (
+            fds_before, len(os.listdir("/proc/self/fd")))
+    finally:
+        s.shutdown()
+
+
 def test_server_batching_end_to_end():
     """Daemon with batch_window_ms: concurrent /synthesize POSTs all
     succeed, match the direct engine output, and /metrics reports the
