@@ -202,23 +202,55 @@ def test_metrics_keys_bounded(server):
     assert not any(k.startswith("/scan-") for k in m["endpoints"])
 
 
-def test_unexpected_exception_yields_500(server):
-    """A payload whose failure falls OUTSIDE the ValueError family (numpy
-    raises OverflowError for out-of-range int32) must produce an HTTP 500
-    and count as an error in /metrics — not a dead handler thread recorded
-    as a 200 (review r4)."""
+def test_overflow_phoneme_id_is_400(server):
+    """An out-of-int32 phoneme id is malformed input: numpy raises
+    OverflowError (outside the ValueError family), which the parser maps
+    to HTTP 400 rather than killing the handler thread (review r4)."""
     utt = _utt(TINY_CONFIG)
-    utt["phonemes"][0] = 1 << 40        # does not fit int32 -> OverflowError
+    utt["phonemes"][0] = 1 << 40
     c = _conn(server)
     c.request("POST", "/synthesize", json.dumps(utt).encode(),
               {"Content-Type": "application/json"})
     r = c.getresponse()
-    assert r.status == 500
-    assert "internal error" in json.loads(r.read())["error"]
+    assert r.status == 400
+    assert "malformed" in json.loads(r.read())["error"]
+
+
+def test_unexpected_exception_yields_500(server):
+    """An unanticipated engine failure must produce an HTTP 500 with a
+    GENERIC body (no internal detail leaks to the client), count as an
+    error in /metrics, and leave the handler thread alive (review r4)."""
+
+    class _Boom:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def synthesize(self, *a, **k):
+            raise RuntimeError("secret detail /etc/internal (8, 64, 20)")
+
+    orig = server.engine
+    server.engine = _Boom(orig)
+    try:
+        c = _conn(server)
+        c.request("POST", "/synthesize", json.dumps(_utt(TINY_CONFIG)).encode(),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 500
+        body = json.loads(r.read())["error"]
+        assert body == "internal error"          # detail stays server-side
+    finally:
+        server.engine = orig
     c = _conn(server)
     c.request("GET", "/metrics")
     m = json.loads(c.getresponse().read())
     assert m["endpoints"]["/synthesize"]["errors"] >= 1
+    # the daemon still serves (the handler thread did not die)
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    assert c.getresponse().status == 200
 
 
 def test_cli_serve_sigterm_graceful(tmp_path):

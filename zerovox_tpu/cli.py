@@ -64,6 +64,10 @@ def main(argv=None):
                     help="comma-separated mel-length buckets")
     ap.add_argument("--no-trim", action="store_true",
                     help="keep the full padded waveform (reference behavior)")
+    ap.add_argument("--split-long", action="store_true",
+                    help="accept utterances longer than max_n_phonemes by "
+                         "splitting at punctuation into one packed batch "
+                         "(the reference truncates at its cap instead)")
     ap.add_argument("--serve", action="store_true",
                     help="run the HTTP serving daemon instead of one-shot "
                          "synthesis (endpoints: /healthz /synthesize /batch /stream)")
@@ -146,6 +150,33 @@ def main(argv=None):
         except KeyboardInterrupt:
             pass
         server.shutdown()
+        return 0
+
+    if args.split_long:
+        if not args.input:
+            ap.error("--split-long needs --input (a JSON utterance)")
+        if args.stream:
+            ap.error("--split-long is one-shot (not --stream)")
+        from zerovox_tpu.runtime.engine import TTSEngine
+        from zerovox_tpu.runtime.longform import synthesize_long
+        from zerovox_tpu.runtime.server import parse_utterance_arrays
+        try:
+            with open(args.input) as f:
+                d = json.load(f)
+            ph, pu, style = parse_utterance_arrays(d, cfg)
+        except (OSError, json.JSONDecodeError, ValueError) as e:
+            raise SystemExit(f"{args.input}: {e}")
+        buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+        engine = TTSEngine(params, cfg, mel_buckets=buckets,
+                           precision=args.precision)
+        t0 = time.perf_counter()
+        wav, mel_len = synthesize_long(engine, ph, pu, style)
+        print(f"synthesized {len(ph)} phonemes as {len(mel_len)} windows "
+              f"({time.perf_counter()-t0:.2f}s incl. compile)",
+              file=sys.stderr)
+        write_wav(args.output, wav, cfg.sampling_rate)
+        print(f"wrote {args.output}: {len(wav)} samples "
+              f"({len(wav)/cfg.sampling_rate:.2f}s @ {cfg.sampling_rate} Hz)")
         return 0
 
     if args.input:

@@ -18,7 +18,11 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
   POST /synthesize   -> complete WAV (query: ?trim=0 keeps the padded
                         buffer, the reference's behavior); with
                         batch_window_ms > 0, concurrent requests coalesce
-                        into packed device dispatches (runtime/batcher.py)
+                        into packed device dispatches (runtime/batcher.py);
+                        ?split=1 accepts utterances of ANY length,
+                        splitting at punctuation into one packed batch
+                        (runtime/longform.py — the reference truncates at
+                        120 phonemes instead)
   POST /batch        -> {"utterances": [utt, ...]} -> JSON array of
                         base64 WAVs via the bucket-packed engine path
                         (one vocoder dispatch per mel bucket group,
@@ -94,6 +98,28 @@ class Metrics:
             return out
 
 
+def parse_utterance_arrays(d: dict, cfg: ZeroVoxConfig
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Validate the utterance JSON schema into raw (ph, pu, style) arrays
+    of ANY length (callers enforce or split around max_n_phonemes)."""
+    for key in ("phonemes", "style"):
+        if key not in d:
+            raise ValueError(f"missing required key {key!r} "
+                             "(need phonemes, style; optional puncts)")
+    try:
+        ph = np.asarray(d["phonemes"], dtype=np.int32)
+        pu = np.asarray(d.get("puncts", np.zeros_like(ph)), dtype=np.int32)
+        style = np.asarray(d["style"], dtype=np.float32).reshape(1, -1)
+    except (TypeError, ValueError, OverflowError) as e:
+        raise ValueError(f"malformed utterance arrays: {e}")
+    if ph.ndim != 1 or pu.shape != ph.shape:
+        raise ValueError("phonemes/puncts must be equal-length 1-D lists")
+    if style.shape[1] != cfg.d_model:
+        raise ValueError(f"style embedding has {style.shape[1]} dims, "
+                         f"model wants {cfg.d_model}")
+    return ph, pu, style
+
+
 def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                    np.ndarray]:
@@ -102,22 +128,8 @@ def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
     Raises ValueError on schema violations (the CLI wraps this into
     SystemExit, the server into HTTP 400).
     """
-    for key in ("phonemes", "style"):
-        if key not in d:
-            raise ValueError(f"missing required key {key!r} "
-                             "(need phonemes, style; optional puncts)")
     P = cfg.max_n_phonemes
-    try:
-        ph = np.asarray(d["phonemes"], dtype=np.int32)
-        pu = np.asarray(d.get("puncts", np.zeros_like(ph)), dtype=np.int32)
-        style = np.asarray(d["style"], dtype=np.float32).reshape(1, -1)
-    except (TypeError, ValueError) as e:
-        raise ValueError(f"malformed utterance arrays: {e}")
-    if ph.ndim != 1 or pu.shape != ph.shape:
-        raise ValueError("phonemes/puncts must be equal-length 1-D lists")
-    if style.shape[1] != cfg.d_model:
-        raise ValueError(f"style embedding has {style.shape[1]} dims, "
-                         f"model wants {cfg.d_model}")
+    ph, pu, style = parse_utterance_arrays(d, cfg)
     if len(ph) > P:
         # silently truncating would return shortened audio with a 200 (or,
         # through the CLI, a silently shortened WAV); an explicit error
@@ -326,15 +338,29 @@ class TTSServer:
                         return
 
             def _synthesize(self, url):
-                src, pun, style, n = self._read_utterance()
-                trim = parse_qs(url.query).get("trim", ["1"])[0] != "0"
-                if server.batcher is not None:
-                    wav, _ = server.batcher.synthesize(src, pun, style, n,
-                                                       trim=trim, pcm16=True)
+                q = parse_qs(url.query)
+                if q.get("split", ["0"])[0] != "0":
+                    # long-form mode: utterances of ANY length split at
+                    # punctuation boundaries into one packed dispatch
+                    # (runtime/longform.py); split implies trim — the
+                    # windows' padded tails cannot meaningfully concat
+                    from .longform import synthesize_long
+                    ph, pu, style = parse_utterance_arrays(
+                        self._read_json(), server.engine.cfg)
+                    if len(ph) == 0:
+                        raise ValueError("empty phoneme sequence")
+                    wav, _ = synthesize_long(server.engine, ph, pu, style,
+                                             pcm16=True)
                 else:
-                    wavs, _ = server.engine.synthesize(src, pun, style, n,
-                                                       trim=trim, pcm16=True)
-                    wav = wavs[0]
+                    src, pun, style, n = self._read_utterance()
+                    trim = q.get("trim", ["1"])[0] != "0"
+                    if server.batcher is not None:
+                        wav, _ = server.batcher.synthesize(
+                            src, pun, style, n, trim=trim, pcm16=True)
+                    else:
+                        wavs, _ = server.engine.synthesize(
+                            src, pun, style, n, trim=trim, pcm16=True)
+                        wav = wavs[0]
                 pcm = wav.tobytes()
                 sr = server.engine.cfg.sampling_rate
                 self.send_response(200)
