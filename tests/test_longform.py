@@ -128,5 +128,26 @@ def test_server_split_mode():
                                  np.asarray(utt["style"], np.float32),
                                  pcm16=True)
         np.testing.assert_array_equal(pcm, wav)
+
+        # long-form STREAMING: /stream?split=1 streams every window in
+        # turn; the de-chunked audio equals the per-window stream collects
+        c = http.client.HTTPConnection(host, port, timeout=240)
+        c.request("POST", "/stream?split=1", body,
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 200
+        raw = r.read()                     # http.client de-chunks
+        stream_pcm = np.frombuffer(raw[44:], dtype=np.int16)
+        from zerovox_tpu.runtime.longform import split_utterance
+        srcs, puns, lens = split_utterance(
+            utt["phonemes"], utt["puncts"], CFG.max_n_phonemes)
+        style = np.asarray(utt["style"], np.float32).reshape(1, -1)
+        parts = []
+        for i in range(len(lens)):
+            for piece in s.stream.stream(srcs[i:i + 1], puns[i:i + 1],
+                                         style, lens[i:i + 1]):
+                parts.append(np.asarray(piece).ravel())   # (1, N) chunks
+        ref = np.concatenate(parts) if parts else np.zeros(0, np.int16)
+        np.testing.assert_array_equal(stream_pcm, ref)
     finally:
         s.shutdown()

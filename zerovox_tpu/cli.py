@@ -155,10 +155,7 @@ def main(argv=None):
     if args.split_long:
         if not args.input:
             ap.error("--split-long needs --input (a JSON utterance)")
-        if args.stream:
-            ap.error("--split-long is one-shot (not --stream)")
-        from zerovox_tpu.runtime.engine import TTSEngine
-        from zerovox_tpu.runtime.longform import synthesize_long
+        from zerovox_tpu.runtime.longform import split_utterance
         from zerovox_tpu.runtime.server import parse_utterance_arrays
         try:
             with open(args.input) as f:
@@ -166,26 +163,34 @@ def main(argv=None):
             ph, pu, style = parse_utterance_arrays(d, cfg)
         except (OSError, json.JSONDecodeError, ValueError) as e:
             raise SystemExit(f"{args.input}: {e}")
-        buckets = tuple(int(b) for b in args.buckets.split(",") if b)
-        engine = TTSEngine(params, cfg, mel_buckets=buckets,
-                           precision=args.precision)
-        t0 = time.perf_counter()
-        wav, mel_len = synthesize_long(engine, ph, pu, style)
-        print(f"synthesized {len(ph)} phonemes as {len(mel_len)} windows "
-              f"({time.perf_counter()-t0:.2f}s incl. compile)",
-              file=sys.stderr)
-        write_wav(args.output, wav, cfg.sampling_rate)
-        print(f"wrote {args.output}: {len(wav)} samples "
-              f"({len(wav)/cfg.sampling_rate:.2f}s @ {cfg.sampling_rate} Hz)")
-        return 0
-
-    if args.input:
-        utt = _load_utterance(args.input, cfg)
+        if not args.stream:
+            from zerovox_tpu.runtime.engine import TTSEngine
+            from zerovox_tpu.runtime.longform import synthesize_long
+            buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+            engine = TTSEngine(params, cfg, mel_buckets=buckets,
+                               precision=args.precision)
+            t0 = time.perf_counter()
+            wav, mel_len = synthesize_long(engine, ph, pu, style)
+            print(f"synthesized {len(ph)} phonemes as {len(mel_len)} "
+                  f"windows ({time.perf_counter()-t0:.2f}s incl. compile)",
+                  file=sys.stderr)
+            write_wav(args.output, wav, cfg.sampling_rate)
+            print(f"wrote {args.output}: {len(wav)} samples "
+                  f"({len(wav)/cfg.sampling_rate:.2f}s @ "
+                  f"{cfg.sampling_rate} Hz)")
+            return 0
+        # streaming long-form: each window streams in turn into the sink
+        srcs, puns, lens = split_utterance(ph, pu, cfg.max_n_phonemes)
+        windows = [(srcs[i:i + 1], puns[i:i + 1],
+                    np.asarray(style, np.float32), lens[i:i + 1])
+                   for i in range(len(lens))]
+    elif args.input:
+        windows = [_load_utterance(args.input, cfg)]
     elif args.demo:
-        utt = _demo_utterance(cfg)
+        windows = [_demo_utterance(cfg)]
     else:
         ap.error("one of --input / --demo is required")
-    src, pun, style, n = utt
+    src, pun, style, n = windows[0]
 
     if args.stream:
         from zerovox_tpu.models.streaming import StreamingSynthesizer
@@ -202,13 +207,16 @@ def main(argv=None):
         # is computed — TTFA is real at the file boundary, unlike the
         # reference's single write at the end (src/zerovox.cpp:337-391)
         with StreamingWavWriter(args.output, cfg.sampling_rate) as sink:
-            for i, chunk in enumerate(s.stream(src, pun, style, n)):
-                sink.write(chunk)
-                if i == 0:
-                    print(f"TTFA {1e3*(time.perf_counter()-t0):.1f} ms "
-                          f"(incl. compile on first call; first "
-                          f"{sink.samples_written} samples on disk)",
-                          file=sys.stderr)
+            first = True
+            for wsrc, wpun, wstyle, wn in windows:
+                for chunk in s.stream(wsrc, wpun, wstyle, wn):
+                    sink.write(chunk)
+                    if first:
+                        first = False
+                        print(f"TTFA {1e3*(time.perf_counter()-t0):.1f} ms "
+                              f"(incl. compile on first call; first "
+                              f"{sink.samples_written} samples on disk)",
+                              file=sys.stderr)
             total = sink.samples_written
         print(f"wrote {args.output}: {total} samples "
               f"({total/cfg.sampling_rate:.2f}s @ {cfg.sampling_rate} Hz, "

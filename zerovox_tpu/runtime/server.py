@@ -283,7 +283,7 @@ class TTSServer:
                     if url.path == "/batch":
                         return self._batch(url)
                     if url.path == "/stream":
-                        return self._stream()
+                        return self._stream(url)
                     return self._json(404, {"error": "unknown endpoint"})
                 except (ValueError, json.JSONDecodeError) as e:
                     if self._body_started:
@@ -395,8 +395,25 @@ class TTSServer:
                 self._json(200, {"wavs": out,
                                  "mel_len": [int(m) for m in mel_len]})
 
-            def _stream(self):
-                src, pun, style, n = self._read_utterance()
+            def _stream(self, url):
+                q = parse_qs(url.query)
+                if q.get("split", ["0"])[0] != "0":
+                    # long-form streaming: each punctuation-split window
+                    # streams in turn into the same chunked response —
+                    # arbitrary-length text at the same TTFA (streams are
+                    # mel_len-trimmed, so windows concatenate seamlessly)
+                    from .longform import split_utterance
+                    cfg = server.engine.cfg
+                    ph, pu, style = parse_utterance_arrays(
+                        self._read_json(), cfg)
+                    if len(ph) == 0:
+                        raise ValueError("empty phoneme sequence")
+                    srcs, puns, lens = split_utterance(
+                        ph, pu, cfg.max_n_phonemes)
+                    windows = [(srcs[i:i + 1], puns[i:i + 1], style,
+                                lens[i:i + 1]) for i in range(len(lens))]
+                else:
+                    windows = [self._read_utterance()]
                 sr = server.engine.cfg.sampling_rate
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -417,16 +434,17 @@ class TTSServer:
                 # programs share carry buffers); socket writes happen
                 # outside it so one stalled client cannot block the other
                 # /stream requests
-                it = server.stream.stream(src, pun, style, n)
-                while True:
-                    with server._stream_lock:
-                        piece = next(it, None)
-                    if piece is None:
-                        break
-                    piece = np.asarray(piece)
-                    if piece.dtype != np.int16:   # pcm16=False synthesizers
-                        piece = float_to_pcm16(piece)
-                    chunk(piece.tobytes())
+                for src, pun, style, n in windows:
+                    it = server.stream.stream(src, pun, style, n)
+                    while True:
+                        with server._stream_lock:
+                            piece = next(it, None)
+                        if piece is None:
+                            break
+                        piece = np.asarray(piece)
+                        if piece.dtype != np.int16:  # pcm16=False synths
+                            piece = float_to_pcm16(piece)
+                        chunk(piece.tobytes())
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
 
