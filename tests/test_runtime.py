@@ -206,6 +206,17 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(got, wav, atol=1.0 / 32000)
 
 
+def test_wav_roundtrip_int16_passthrough(tmp_path, rng):
+    # int16 input (device-quantised / client paths) is written verbatim,
+    # no re-quantisation
+    pcm = (rng.integers(-32767, 32768, size=4801)).astype(np.int16)
+    path = str(tmp_path / "i.wav")
+    write_wav(path, pcm, 24000)
+    got, rate = read_wav(path)
+    assert rate == 24000
+    np.testing.assert_allclose(got * 32767.0, pcm, atol=0.5)
+
+
 def test_pcm16_clamps():
     x = np.array([-2.0, -1.0, 0.0, 1.0, 2.0], np.float32)
     p = float_to_pcm16(x)

@@ -43,12 +43,22 @@ def _wav_header(sampling_rate: int, data_bytes: int) -> bytes:
 
 def write_wav(path: str, wav: np.ndarray, sampling_rate: int,
               use_native: bool = True):
-    """Write a mono float waveform in [-1, 1] as 16-bit PCM WAV."""
+    """Write a mono waveform as 16-bit PCM WAV.
+
+    Accepts float in [-1, 1] (quantised here) or int16 (written as-is —
+    the engine's device-quantised pcm16 paths and the daemon client both
+    hand back int16 already)."""
     wav = np.asarray(wav)
     if wav.ndim == 2:
         if wav.shape[0] != 1:
             raise ValueError(f"expected mono waveform, got shape {wav.shape}")
         wav = wav[0]
+    if wav.dtype == np.int16:
+        data = wav.tobytes()
+        with open(path, "wb") as f:
+            f.write(_wav_header(sampling_rate, len(data)))
+            f.write(data)
+        return
     if use_native:
         from . import native
         if native.write_wav_native(path, wav, sampling_rate):

@@ -1,14 +1,18 @@
-"""Serving runtime: engine with compile-cache + length bucketing, and the
-HTTP serving daemon (server.TTSServer — imported lazily; it pulls in the
-streaming synthesizer)."""
+"""Serving runtime: engine with compile-cache + length bucketing, the
+HTTP serving daemon (server.TTSServer), and the programmatic client
+(client.TTSClient) — the latter two imported lazily; the server pulls in
+the streaming synthesizer, the client only stdlib + numpy."""
 
 from .engine import TTSEngine
 
-__all__ = ["TTSEngine", "TTSServer"]
+__all__ = ["TTSEngine", "TTSServer", "TTSClient"]
 
 
 def __getattr__(name):
     if name == "TTSServer":
         from .server import TTSServer
         return TTSServer
+    if name == "TTSClient":
+        from .client import TTSClient
+        return TTSClient
     raise AttributeError(name)
