@@ -433,14 +433,19 @@ class _Cursor:
         return self.read(n).decode("utf-8")
 
 
-def _read_value(cur: _Cursor, vtype: int) -> Any:
+def _read_value(cur: _Cursor, vtype: int, depth: int = 0) -> Any:
     vtype = GGUFValueType(vtype)
     if vtype == GGUFValueType.STRING:
         return cur.read_string()
     if vtype == GGUFValueType.ARRAY:
+        # depth cap: a crafted file nesting ARRAY-of-ARRAY thousands deep
+        # would otherwise escape the sanctioned (ValueError/EOFError)
+        # family as RecursionError; real checkpoints nest at most once
+        if depth >= 8:
+            raise ValueError("GGUF array nesting exceeds depth 8")
         elem_type = cur.unpack("<i")
         count = cur.unpack("<Q")
-        return [_read_value(cur, elem_type) for _ in range(count)]
+        return [_read_value(cur, elem_type, depth + 1) for _ in range(count)]
     return cur.unpack(_SCALAR_FMT[vtype])
 
 
@@ -461,6 +466,11 @@ class GGUFReader:
             raise ValueError(f"{path}: unsupported GGUF version {self.version}")
         n_tensors = cur.unpack("<q")
         n_kv = cur.unpack("<q")
+        if n_tensors < 0 or n_kv < 0:
+            # the counts are signed on the wire (ggml reads int64); a
+            # negative count would silently parse as an empty file here
+            raise ValueError(f"{path}: negative section count "
+                             f"(n_tensors={n_tensors}, n_kv={n_kv})")
 
         self.kv: Dict[str, Any] = {}
         for _ in range(n_kv):
@@ -499,7 +509,15 @@ class GGUFReader:
         """Raw bytes of a tensor (uint8 view) — works for every ggml type."""
         info = self.tensors[name]
         start = self.data_offset + info.offset
-        return np.frombuffer(self._mm, dtype=np.uint8, count=info.nbytes, offset=start)
+        nbytes = info.nbytes
+        # explicit extent check: corrupt offsets/shapes must fail as
+        # ValueError, not numpy's OverflowError (huge counts) or a short
+        # view (found by tests/test_gguf_fuzz.py byte-flip sweep)
+        if start + nbytes > len(self._mm):
+            raise ValueError(
+                f"{self.path}: tensor {name!r} extent [{start}, "
+                f"{start + nbytes}) exceeds file size {len(self._mm)}")
+        return np.frombuffer(self._mm, dtype=np.uint8, count=nbytes, offset=start)
 
     def get(self, name: str, as_float32: bool = False) -> np.ndarray:
         """Tensor as a numpy array in numpy-order shape.
