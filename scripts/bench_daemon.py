@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="enable the daemon's dynamic batching (A/B the "
                          "--load throughput against 0)")
+    ap.add_argument("--stream-load", type=int, default=0, metavar="N",
+                    help="also measure N concurrent /stream clients "
+                         "(TTFA p50 under load + aggregate audio-s/s; "
+                         "streams interleave without a server lock)")
     args = ap.parse_args()
     if args.reps < 1:
         ap.error("--reps must be >= 1 (medians of zero measurements)")
@@ -78,6 +82,12 @@ def main():
     except OSError as e:
         print(f"bench_daemon: compile cache unavailable ({e})",
               file=sys.stderr)
+
+    if args.tiny:
+        # CPU smoke mode must not depend on the TPU tunnel being up
+        # (the axon plugin overrides JAX_PLATFORMS; use the config API)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from zerovox_tpu.config import TINY_CONFIG, ZeroVoxConfig
     from zerovox_tpu.params import init_params, load_params
@@ -214,6 +224,55 @@ def main():
         out["batch_window_ms"] = args.batch_window_ms
         if server.batcher is not None:
             out["load_batcher"] = server.batcher.snapshot()
+
+    if args.stream_load > 0:
+        # concurrent streams: state is generator-local and the chunk
+        # programs' cache is internally locked, so N streams overlap
+        # their per-chunk round trips (a global lock would serialize
+        # all streams to one chunk per RTT — the r4 removal this leg
+        # quantifies)
+        import threading
+        sr = cfg.sampling_rate
+        ttfa_l, samples_l = [], []
+        sfail = [0]
+        s_lock = threading.Lock()
+
+        def stream_client(i):
+            sbody = json.dumps(_utterance(cfg, seed=100 + i)).encode()
+            mine_t, mine_n, failed = [], [], 0
+            for _ in range(max(2, args.reps // 3)):
+                c = conn()
+                t0 = time.perf_counter()
+                c.request("POST", "/stream", sbody, hdrs)
+                r = c.getresponse()
+                if r.status != 200:
+                    failed += 1
+                    r.read()
+                    continue
+                r.read(44)
+                r.read(2)
+                mine_t.append(time.perf_counter() - t0)
+                rest = r.read()
+                mine_n.append((2 + len(rest)) // 2)
+            with s_lock:
+                ttfa_l.extend(mine_t)
+                samples_l.extend(mine_n)
+                sfail[0] += failed
+
+        threads = [threading.Thread(target=stream_client, args=(i,))
+                   for i in range(args.stream_load)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        out["stream_load_clients"] = args.stream_load
+        out["stream_load_completed"] = len(ttfa_l)
+        out["stream_load_failures"] = sfail[0]
+        out["stream_load_ttfa_p50_ms"] = _p50(ttfa_l) if ttfa_l else None
+        out["stream_load_audio_s_per_s"] = (
+            round(sum(samples_l) / sr / wall, 2) if samples_l else None)
 
     server.shutdown()
     print(json.dumps(out))

@@ -28,6 +28,9 @@ run bench_b8          python bench.py --batch 8 --no-ttfa
 run bench_b1_fuse_a   python bench.py --fuse-a --no-ttfa
 run bench_b8_fuse_a   python bench.py --batch 8 --fuse-a --no-ttfa
 run daemon            python scripts/bench_daemon.py --reps 15
+# concurrent /stream capacity (r4: no server-side stream lock — N
+# streams overlap their per-chunk tunnel RTTs instead of convoying)
+run daemon_stream4    python scripts/bench_daemon.py --reps 6 --no-batch --stream-load 4
 # dynamic-batching A/B under 8 concurrent clients (req/s + p50)
 run daemon_load_off   python scripts/bench_daemon.py --reps 6 --no-batch --load 8
 run daemon_load_on    python scripts/bench_daemon.py --reps 6 --no-batch --load 8 --batch-window-ms 10

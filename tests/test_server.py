@@ -125,6 +125,48 @@ def test_bad_requests(server):
         utterance_from_dict({"phonemes": [1], "style": [0.0]}, TINY_CONFIG)
 
 
+def test_concurrent_streams_are_independent(server):
+    """Four clients stream different utterances simultaneously (no
+    server-side stream lock): each reassembled stream must equal that
+    utterance's own one-shot synthesis — no cross-talk, no convoying
+    deadlock.  Stream state is generator-local; only the synthesizer's
+    program cache is shared (internally locked)."""
+    import threading
+
+    utts = [_utt(TINY_CONFIG, seed=s) for s in (10, 11, 12, 13)]
+    results, errors = {}, []
+
+    def run_stream(i):
+        try:
+            c = _conn(server)
+            c.request("POST", "/stream", json.dumps(utts[i]).encode(),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 200
+            _, pcm = _parse_wav(r.read())
+            results[i] = pcm
+        except Exception as e:          # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    workers = [threading.Thread(target=run_stream, args=(i,))
+               for i in range(len(utts))]
+    for t in workers:
+        t.start()
+    for t in workers:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert set(results) == set(range(len(utts)))
+
+    for i, utt in enumerate(utts):
+        c = _conn(server)
+        c.request("POST", "/synthesize?trim=0", json.dumps(utt).encode(),
+                  {"Content-Type": "application/json"})
+        _, full = _parse_wav(c.getresponse().read())
+        pcm = results[i]
+        assert len(pcm) > 0
+        np.testing.assert_allclose(pcm, full[:len(pcm)], atol=1)
+
+
 def test_request_caps(server):
     """Input hardening (VERDICT r3 weak #4): oversized bodies get 413,
     oversized /batch utterance lists get 400, and over-long phoneme

@@ -23,6 +23,7 @@ time) and is not the bottleneck; it runs in the prefix step.
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 from typing import Iterator, Optional, Tuple
 
@@ -84,49 +85,59 @@ class StreamingSynthesizer:
         # no eager device ops on the latency path).
         self._programs = {}
         self._sprograms = {}
+        # stream() generators carry all per-utterance state locally, so
+        # CONCURRENT streams are safe (jitted callables are thread-safe
+        # in jax) — the only shared mutable state is these caches; the
+        # lock makes their get-or-compile atomic.  The serving daemon
+        # relies on this: its /stream handlers interleave chunk
+        # dispatches freely, overlapping their per-chunk host round
+        # trips instead of convoying on a server-side lock.
+        self._cache_lock = threading.Lock()
 
     def _sprogram(self, window: int, emit_from: int, emit_frames: int):
         """Jitted slice-and-vocode program (full mel + traced start in)."""
         key = (window, emit_from, emit_frames)
-        if key not in self._sprograms:
-            cfg_ = self.cfg
-            hop = cfg_.hop_size
+        with self._cache_lock:
+            if key not in self._sprograms:
+                cfg_ = self.cfg
+                hop = cfg_.hop_size
 
-            pcm = self.pcm16
+                pcm = self.pcm16
 
-            @jax.jit
-            def f(params, mel, ws):
-                win = jax.lax.dynamic_slice_in_dim(mel, ws, window, axis=1)
-                wav = hifigan.vocode(params, cfg_, win)
-                wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
-                if pcm:
-                    from ..io.wav import float_to_pcm16_device
-                    wav = float_to_pcm16_device(wav)
-                return wav
+                @jax.jit
+                def f(params, mel, ws):
+                    win = jax.lax.dynamic_slice_in_dim(mel, ws, window, axis=1)
+                    wav = hifigan.vocode(params, cfg_, win)
+                    wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                    if pcm:
+                        from ..io.wav import float_to_pcm16_device
+                        wav = float_to_pcm16_device(wav)
+                    return wav
 
-            self._sprograms[key] = f
-        return self._sprograms[key]
+                self._sprograms[key] = f
+            return self._sprograms[key]
 
     def program(self, window: int, emit_from: int, emit_frames: int):
         """The jitted vocoder program for one window geometry."""
         key = (window, emit_from, emit_frames)
-        if key not in self._programs:
-            cfg_ = self.cfg
-            hop = cfg_.hop_size
+        with self._cache_lock:
+            if key not in self._programs:
+                cfg_ = self.cfg
+                hop = cfg_.hop_size
 
-            pcm = self.pcm16
+                pcm = self.pcm16
 
-            @jax.jit
-            def f(params, mel_window):
-                wav = hifigan.vocode(params, cfg_, mel_window)
-                wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
-                if pcm:
-                    from ..io.wav import float_to_pcm16_device
-                    wav = float_to_pcm16_device(wav)
-                return wav
+                @jax.jit
+                def f(params, mel_window):
+                    wav = hifigan.vocode(params, cfg_, mel_window)
+                    wav = wav[:, emit_from * hop: (emit_from + emit_frames) * hop]
+                    if pcm:
+                        from ..io.wav import float_to_pcm16_device
+                        wav = float_to_pcm16_device(wav)
+                    return wav
 
-            self._programs[key] = f
-        return self._programs[key]
+                self._programs[key] = f
+            return self._programs[key]
 
     def warmup(self, batch: int = 1):
         """Trigger all compiles off the latency path (every program the

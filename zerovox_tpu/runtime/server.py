@@ -6,8 +6,9 @@ compiled model resident and serving many requests has no reference
 counterpart.  This daemon is deliberately stdlib-only (http.server): a
 ThreadingHTTPServer sharing one `TTSEngine` (its compile cache is
 lock-guarded; see tests/test_runtime.py concurrent-request test) and one
-`StreamingSynthesizer` (streamed requests are serialized behind a lock —
-the streaming programs share carry buffers).
+`StreamingSynthesizer` (stream state is generator-local and its program
+cache is internally locked, so concurrent /stream requests interleave
+freely — their per-chunk host round trips overlap instead of convoying).
 
 Endpoints (all JSON bodies use the CLI's utterance schema —
 {"phonemes": [...], "style": [...], "puncts": optional}):
@@ -175,7 +176,6 @@ class TTSServer:
             self.engine.host_params, self.engine.cfg,
             chunk_frames=chunk_frames, overlap=overlap,
             pcm16=True)   # chunks arrive device-quantised (half the bytes)
-        self._stream_lock = threading.Lock()
         if warmup:
             # /synthesize serves the device-quantised int16 variants: the
             # PCM16 fetch halves the host-transfer bytes, which dominate
@@ -430,17 +430,13 @@ class TTSServer:
                 # streaming-WAV convention: unknown-length sizes; players
                 # read until the stream ends
                 chunk(_wav_header(sr, 0xFFFFFFFF - 44))
-                # the lock guards only chunk GENERATION (the streaming
-                # programs share carry buffers); socket writes happen
-                # outside it so one stalled client cannot block the other
-                # /stream requests
+                # no server-side lock: stream state is generator-local
+                # and the synthesizer's program cache locks internally,
+                # so concurrent /stream handlers overlap their per-chunk
+                # device round trips (on a ~30 ms-RTT tunnel a global
+                # lock would serialize ALL streams to one chunk per RTT)
                 for src, pun, style, n in windows:
-                    it = server.stream.stream(src, pun, style, n)
-                    while True:
-                        with server._stream_lock:
-                            piece = next(it, None)
-                        if piece is None:
-                            break
+                    for piece in server.stream.stream(src, pun, style, n):
                         piece = np.asarray(piece)
                         if piece.dtype != np.int16:  # pcm16=False synths
                             piece = float_to_pcm16(piece)
