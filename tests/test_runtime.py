@@ -197,6 +197,42 @@ def test_engine_front_compile_keys_bounded(rng):
         assert e._back_fn(b)._cache_size() == n_backs[b]
 
 
+def test_engine_reload_no_recompile(rng):
+    """reload_params swaps weights without minting ANY new compile key
+    (the jitted programs take params as an argument), and subsequent
+    output matches an engine built fresh on the new weights."""
+    p0 = init_params(CFG, seed=0)
+    p1 = init_params(CFG, seed=1)
+    src, pun, style = _inputs(rng, B=1)
+    n = np.asarray([CFG.max_n_phonemes], np.int32)
+
+    e = TTSEngine(p0, CFG)
+    e.warmup(batch=1)
+    before, _ = e.synthesize(src, pun, style, n, trim=False)
+    n_front = e._front._cache_size()
+    n_backs = {b: e._back_fn(b)._cache_size() for b in e.mel_buckets}
+
+    e.reload_params(p1)
+    after, _ = e.synthesize(src, pun, style, n, trim=False)
+    assert e._front._cache_size() == n_front
+    for b in e.mel_buckets:
+        assert e._back_fn(b)._cache_size() == n_backs[b]
+
+    fresh, _ = TTSEngine(p1, CFG).synthesize(src, pun, style, n, trim=False)
+    np.testing.assert_allclose(np.asarray(after[0]), np.asarray(fresh[0]),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(after[0]), np.asarray(before[0]))
+
+
+def test_engine_reload_rejects_geometry_change(rng):
+    """A checkpoint with different tensor shapes is refused with a typed
+    ValueError naming the restart path — never a silent corruption."""
+    e = TTSEngine(init_params(CFG, seed=0), CFG)
+    bad_cfg = CFG.replace(emb_dim=CFG.emb_dim * 2)
+    with pytest.raises(ValueError, match="restart|tree|geometry"):
+        e.reload_params(init_params(bad_cfg, seed=0))
+
+
 def test_wav_roundtrip(tmp_path, rng):
     wav = np.sin(np.linspace(0, 440 * 2 * np.pi, 24000)).astype(np.float32) * 0.7
     path = str(tmp_path / "t.wav")

@@ -202,6 +202,94 @@ def test_request_caps(server):
         utterance_from_dict(utt, TINY_CONFIG)
 
 
+def test_reload_disabled_by_default(server):
+    c = _conn(server)
+    c.request("POST", "/reload", json.dumps({"model": "/x.gguf"}).encode(),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 403
+    assert "allow-reload" in json.loads(r.read())["error"]
+
+
+def test_reload_hot_swaps_weights(tmp_path):
+    """POST /reload swaps to a new same-geometry checkpoint: subsequent
+    audio matches a fresh engine on the new weights; geometry changes
+    get 409; bad paths get 400."""
+    from zerovox_tpu.runtime.engine import TTSEngine
+
+    p0 = init_params(TINY_CONFIG, seed=0)
+    p1 = init_params(TINY_CONFIG, seed=1)
+    new_path = str(tmp_path / "new.gguf")
+    save_params(new_path, p1, TINY_CONFIG)
+
+    s = TTSServer(p0, TINY_CONFIG, port=0, warmup=False, allow_reload=True)
+    s.start()
+    try:
+        host, port = s.address
+        body = json.dumps(_utt(TINY_CONFIG, seed=20)).encode()
+
+        def synth():
+            c = http.client.HTTPConnection(host, port, timeout=120)
+            c.request("POST", "/synthesize?trim=0", body,
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 200
+            return _parse_wav(r.read())[1]
+
+        before = synth()
+        c = http.client.HTTPConnection(host, port, timeout=120)
+        c.request("POST", "/reload",
+                  json.dumps({"model": new_path}).encode(),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 200, r.read()
+        assert json.loads(r.read())["status"] == "reloaded"
+
+        after = synth()
+        assert not np.array_equal(after, before)
+        # must equal a fresh engine on the new weights (server default
+        # float32 + device pcm16)
+        utt = _utt(TINY_CONFIG, seed=20)
+        src = np.zeros((1, TINY_CONFIG.max_n_phonemes), np.int32)
+        pun = np.zeros_like(src)
+        src[0] = utt["phonemes"]; pun[0] = utt["puncts"]
+        sty = np.asarray(utt["style"], np.float32).reshape(1, -1)
+        n = np.asarray([TINY_CONFIG.max_n_phonemes], np.int32)
+        wavs, _ = TTSEngine(p1, TINY_CONFIG).synthesize(
+            src, pun, sty, n, trim=False, pcm16=True)
+        np.testing.assert_allclose(after, np.asarray(wavs[0]), atol=1)
+
+        # geometry change -> 409 (scalar hparam diff, same tensor shapes)
+        geo_path = str(tmp_path / "geo.gguf")
+        save_params(geo_path, p1,
+                    TINY_CONFIG.replace(sampling_rate=16000))
+        c = http.client.HTTPConnection(host, port, timeout=120)
+        c.request("POST", "/reload",
+                  json.dumps({"model": geo_path}).encode(),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 409
+        assert "restart" in json.loads(r.read())["error"]
+
+        # unreadable path -> 400
+        c = http.client.HTTPConnection(host, port, timeout=120)
+        c.request("POST", "/reload",
+                  json.dumps({"model": str(tmp_path / "nope.gguf")}).encode(),
+                  {"Content-Type": "application/json"})
+        assert c.getresponse().status == 400
+    finally:
+        s.shutdown()
+
+
+def test_metrics_reports_device_stats(server):
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    d = json.loads(c.getresponse().read())
+    assert "device" in d and "devices" in d["device"]
+    assert len(d["device"]["devices"]) >= 1
+    assert "platform" in d["device"]["devices"][0]
+
+
 def test_metrics_endpoint(server):
     """GET /metrics reports per-endpoint counts, errors, and latency
     quantiles over the served requests."""

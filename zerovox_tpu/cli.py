@@ -87,6 +87,10 @@ def main(argv=None):
                     help="with --serve: pure-DP serving over a device mesh "
                          "(each chip runs the full pipeline on its batch "
                          "slice; pairs with --batch-window-ms)")
+    ap.add_argument("--allow-reload", action="store_true",
+                    help="with --serve: enable POST /reload — hot-swap "
+                         "weights from a new same-geometry GGUF without "
+                         "restarting (admin-plane deployments only)")
     args = ap.parse_args(argv)
 
     if args.compile_cache:
@@ -128,10 +132,11 @@ def main(argv=None):
                            chunk_frames=args.chunk_frames,
                            overlap=args.overlap,
                            batch_window_ms=args.batch_window_ms,
-                           mesh=mesh)
+                           mesh=mesh, allow_reload=args.allow_reload)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
-              "(/healthz /metrics /synthesize /batch /stream)",
+              "(/healthz /metrics /synthesize /batch /stream"
+              + (" /reload" if args.allow_reload else "") + ")",
               file=sys.stderr)
         # orchestrators stop containers with SIGTERM: drain cleanly
         # instead of dying with a traceback.  The handler only UNBLOCKS

@@ -109,6 +109,14 @@ class TTSClient:
         """GET /metrics -> per-endpoint counters and latency quantiles."""
         return json.loads(self._request("GET", "/metrics"))
 
+    def reload(self, model_path: str) -> dict:
+        """POST /reload -> hot-swap daemon weights from a new GGUF.
+
+        Requires the daemon to run with --allow-reload (403 otherwise);
+        geometry changes are rejected with 409."""
+        return json.loads(self._request("POST", "/reload",
+                                        {"model": model_path}))
+
     # -- synthesis --------------------------------------------------------
 
     def synthesize(self, phonemes: Sequence[int], style: Sequence[float],

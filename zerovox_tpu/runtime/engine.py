@@ -230,6 +230,51 @@ class TTSEngine:
                 for v in variants:
                     self._back_fn(b, v)(self.params, mel[:, :b])
 
+    def reload_params(self, params):
+        """Hot-swap model weights; every compiled program stays valid.
+
+        The jitted front/vocoder programs take params as an ARGUMENT, so
+        swapping weights of identical pytree structure/shapes/dtypes
+        re-keys nothing: no XLA recompile, no warmup, no restart — a
+        model update costs one host->device transfer instead of the
+        daemon-restart path (which even with the persistent compile
+        cache pays process startup + executable loads).  Geometry
+        changes must go through a restart; they are rejected here.
+        """
+        if self.cfg.compute_dtype == "bfloat16":
+            params = cast_params(params, jnp.bfloat16)
+        if (jax.tree.structure(self.host_params)
+                != jax.tree.structure(params)):
+            raise ValueError("checkpoint parameter tree differs from the "
+                             "loaded model's — geometry changed, restart "
+                             "required")
+        old = jax.tree_util.tree_flatten_with_path(self.host_params)[0]
+        try:
+            new = jax.tree_util.tree_flatten_with_path(params)[0]
+            mismatches = [
+                (jax.tree_util.keystr(kp),
+                 tuple(a.shape), str(a.dtype), tuple(b.shape), str(b.dtype))
+                for (kp, a), (_, b) in zip(old, new)
+                if tuple(a.shape) != tuple(b.shape) or
+                np.dtype(a.dtype) != np.dtype(b.dtype)]
+        except (TypeError, AttributeError) as e:
+            raise ValueError(f"incompatible checkpoint structure: {e}")
+        if mismatches:
+            raise ValueError(
+                "checkpoint geometry mismatch (restart required): "
+                + "; ".join(f"{k}: {bs}/{bd} vs engine {as_}/{ad}"
+                            for k, as_, ad, bs, bd in mismatches[:3]))
+        self.host_params = params
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import replicated_specs
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, replicated_specs(params))
+        # atomic reference swap (CPython): in-flight calls finish on the
+        # old tree; subsequent dispatches read the new one
+        self.params = params
+
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,
                    num_phonemes=None, trim: bool = True,

@@ -32,6 +32,11 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
                         convention) followed by PCM16 the moment each
                         vocoder chunk lands — time-to-first-byte is the
                         engine's TTFA, not the utterance length
+  POST /reload       -> {"model": path}: hot-swap weights from a new
+                        same-geometry GGUF; compiled programs stay valid
+                        so no recompile/restart (opt-in: allow_reload /
+                        --allow-reload; 403 otherwise, 409 on geometry
+                        change)
 """
 
 from __future__ import annotations
@@ -145,6 +150,31 @@ def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
     return src, pun, style, np.asarray([n], np.int32)
 
 
+def _device_stats() -> dict:
+    """Device inventory + HBM usage for /metrics (an operator watching a
+    resident daemon needs to see memory pressure before an OOM, not
+    after).  memory_stats() is best-effort: some backends (CPU, tunnel)
+    return None or omit keys."""
+    import jax
+    out = []
+    try:
+        for d in jax.local_devices():
+            row = {"id": d.id, "kind": d.device_kind,
+                   "platform": d.platform}
+            try:
+                ms = d.memory_stats() or {}
+                if "bytes_in_use" in ms:
+                    row["bytes_in_use"] = int(ms["bytes_in_use"])
+                if "bytes_limit" in ms:
+                    row["bytes_limit"] = int(ms["bytes_limit"])
+            except (RuntimeError, NotImplementedError, AttributeError):
+                pass
+            out.append(row)
+    except RuntimeError as e:           # backend gone mid-call
+        return {"error": str(e)[:200]}
+    return {"devices": out}
+
+
 class TTSServer:
     """Thread-per-connection HTTP server over a warm TTSEngine."""
 
@@ -155,7 +185,8 @@ class TTSServer:
                  chunk_frames: int = 64, overlap: int = 16,
                  warmup: bool = True,
                  max_body_bytes: int = 4 << 20, max_batch: int = 64,
-                 batch_window_ms: float = 0.0, mesh=None):
+                 batch_window_ms: float = 0.0, mesh=None,
+                 allow_reload: bool = False):
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
@@ -163,6 +194,11 @@ class TTSServer:
         # memory or mint unbounded device work on a production server
         self.max_body_bytes = int(max_body_bytes)
         self.max_batch = int(max_batch)
+        # /reload loads a checkpoint PATH from the request body — opt-in
+        # only (CLI --allow-reload), for deployments where the daemon is
+        # behind a trusted admin plane
+        self.allow_reload = bool(allow_reload)
+        self._reload_lock = threading.Lock()
         self.metrics = Metrics()
         # mesh: pure-DP multi-chip serving — the engine shard_maps its
         # front/vocoder programs over the data axis (engine.py); pairs
@@ -246,6 +282,7 @@ class TTSServer:
                     snap = server.metrics.snapshot()
                     if server.batcher is not None:
                         snap["batcher"] = server.batcher.snapshot()
+                    snap["device"] = _device_stats()
                     return self._json(200, snap)
                 if path != "/healthz":
                     return self._json(404, {"error": "unknown endpoint"})
@@ -261,7 +298,7 @@ class TTSServer:
             # the metrics key set must be bounded: recording raw request
             # paths would grow one ring buffer per attacker-chosen URL
             KNOWN_ENDPOINTS = frozenset(
-                ("/synthesize", "/batch", "/stream"))
+                ("/synthesize", "/batch", "/stream", "/reload"))
 
             def do_POST(self):
                 url = urlparse(self.path)
@@ -284,6 +321,8 @@ class TTSServer:
                         return self._batch(url)
                     if url.path == "/stream":
                         return self._stream(url)
+                    if url.path == "/reload":
+                        return self._reload(url)
                     return self._json(404, {"error": "unknown endpoint"})
                 except (ValueError, json.JSONDecodeError) as e:
                     if self._body_started:
@@ -369,6 +408,47 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(_wav_header(sr, len(pcm)))
                 self.wfile.write(pcm)
+
+            def _reload(self, url):
+                """Hot-swap weights from a new GGUF: compiled programs
+                stay valid (engine.reload_params), so a model update
+                costs one weight transfer instead of a daemon restart.
+                The checkpoint's geometry must match; changes that need
+                new programs go through a restart."""
+                if not server.allow_reload:
+                    return self._json(
+                        403, {"error": "reload disabled; start the "
+                                       "daemon with --allow-reload"})
+                body = self._read_json()
+                path = body.get("model")
+                if not isinstance(path, str) or not path:
+                    raise ValueError("need {'model': '/path/to.gguf'}")
+                from ..params import load_params
+                try:
+                    new_cfg, new_params = load_params(path)
+                except (OSError, EOFError, KeyError) as e:
+                    return self._json(400, {
+                        "error": f"cannot load {path!r}: {e}"})
+                cfg = server.engine.cfg
+                for f in ("max_seq_len", "max_n_phonemes", "d_model",
+                          "num_mels", "sampling_rate", "hop_size"):
+                    if getattr(new_cfg, f) != getattr(cfg, f):
+                        return self._json(409, {
+                            "error": f"geometry changed ({f}: "
+                                     f"{getattr(new_cfg, f)} vs "
+                                     f"{getattr(cfg, f)}); restart the "
+                                     "daemon for geometry changes"})
+                with server._reload_lock:
+                    try:
+                        server.engine.reload_params(new_params)
+                    except ValueError as e:
+                        return self._json(409, {"error": str(e)})
+                    # the streaming synthesizer shares the engine's cast
+                    # host tree; in-flight streams finish mixed (old
+                    # prefix mel + new vocoder weights) — valid audio,
+                    # converges from the next stream on
+                    server.stream.params = server.engine.host_params
+                self._json(200, {"status": "reloaded", "model": path})
 
             def _batch(self, url):
                 utts = self._read_json().get("utterances")
