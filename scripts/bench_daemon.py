@@ -121,35 +121,64 @@ def main():
     def conn():
         return http.client.HTTPConnection(host, port, timeout=300)
 
+    def prime(path, attempts=3):
+        # The axon tunnel intermittently stalls for minutes (r4 battery:
+        # 3 of 4 daemon legs lost their first post-warmup dispatch to a
+        # stall window while the leg that ran between stalls measured
+        # cleanly).  Retry the untimed priming request instead of losing
+        # the whole leg to one stall.
+        for i in range(attempts):
+            try:
+                c = conn()
+                c.request("POST", path, body, hdrs)
+                c.getresponse().read()
+                return
+            except (OSError, http.client.HTTPException) as e:
+                print(f"bench_daemon: priming {path} attempt {i + 1}/"
+                      f"{attempts} failed ({type(e).__name__}: {e}); "
+                      "tunnel stall? retrying", file=sys.stderr, flush=True)
+        raise SystemExit(f"bench_daemon: priming {path} failed "
+                         f"{attempts} times — backend unreachable")
+
     # one untimed request per endpoint (first-hit caches: buckets, sockets)
-    c = conn(); c.request("POST", "/synthesize", body, hdrs)
-    c.getresponse().read()
-    c = conn(); c.request("POST", "/stream", body, hdrs)
-    c.getresponse().read()
+    prime("/synthesize")
+    prime("/stream")
 
     synth, stream_hdr, stream_ttfa, stream_full = [], [], [], []
+    stalled = 0
     for _ in range(args.reps):
-        c = conn()
-        t0 = time.perf_counter()
-        c.request("POST", "/synthesize", body, hdrs)
-        r = c.getresponse()
-        r.read()
-        synth.append(time.perf_counter() - t0)
-        assert r.status == 200
+        try:
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/synthesize", body, hdrs)
+            r = c.getresponse()
+            r.read()
+            synth.append(time.perf_counter() - t0)
+            assert r.status == 200
 
-        c = conn()
-        t0 = time.perf_counter()
-        c.request("POST", "/stream", body, hdrs)
-        r = c.getresponse()
-        r.read(44)                                  # WAV header chunk
-        stream_hdr.append(time.perf_counter() - t0)
-        first = r.read(2)                           # first audio bytes
-        stream_ttfa.append(time.perf_counter() - t0)
-        rest = r.read()
-        stream_full.append(time.perf_counter() - t0)
-        assert r.status == 200 and len(first) == 2, (r.status, len(first))
-        n_samples = (2 + len(rest)) // 2
-        del rest
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/stream", body, hdrs)
+            r = c.getresponse()
+            r.read(44)                              # WAV header chunk
+            stream_hdr.append(time.perf_counter() - t0)
+            first = r.read(2)                       # first audio bytes
+            stream_ttfa.append(time.perf_counter() - t0)
+            rest = r.read()
+            stream_full.append(time.perf_counter() - t0)
+            assert r.status == 200 and len(first) == 2, (r.status, len(first))
+            n_samples = (2 + len(rest)) // 2
+            del rest
+        except (OSError, http.client.HTTPException) as e:
+            # a tunnel stall mid-battery must not void the leg: drop the
+            # rep (a stalled wall is not a latency sample), keep the rest
+            stalled += 1
+            print(f"bench_daemon: rep lost to tunnel stall "
+                  f"({type(e).__name__}); continuing", file=sys.stderr,
+                  flush=True)
+    if len(synth) < 3:
+        raise SystemExit(f"bench_daemon: only {len(synth)} reps survived "
+                         f"({stalled} stalls) — too few for a median")
 
     out = {
         "synthesize_p50_ms": _p50(synth),
@@ -159,7 +188,8 @@ def main():
         "stream_ttfa_min_ms": float(min(stream_ttfa) * 1e3),
         "stream_full_p50_ms": _p50(stream_full),
         "stream_samples": int(n_samples),
-        "reps": args.reps,
+        "reps": len(synth),
+        "stall_dropped_reps": stalled,
         "precision": precision,
     }
 
