@@ -99,10 +99,23 @@ int zv_stages_load(const char *gguf_path,
     // the suite ran checkpoint tests first; nondeterministic counts).
     // Force EVERY buffer allocated during model construction onto fresh
     // mmap pages (page-size threshold), restoring the assumption the
-    // reference author baked in, then put the threshold back.  Documented
-    // as a discovered reference bug in docs/PARITY.md (bugs consciously
-    // not replicated by our conv_transpose1d, which computes the zeros).
+    // reference author baked in.  Documented as a discovered reference bug
+    // in docs/PARITY.md (bugs consciously not replicated by our
+    // conv_transpose1d, which computes the zeros).
+    //
+    // The threshold stays lowered for the WORKER'S WHOLE LIFE (it used to
+    // be restored after load): ggml's CPU backend also mallocs a work
+    // buffer per graph_compute at EVAL time, and serving that from the
+    // dirty brk heap reproduced three distinct wrong-output modes (a
+    // constant bias-only wav, a NaN tail, and an everything-slightly-off
+    // wav), triggered nondeterministically by the worker's own heap
+    // history — under PYTHONHASHSEED=0 the bad modes became the COMMON
+    // case.  With the threshold pinned at a page, every >=4 KiB
+    // allocation is zero-born for every eval, which restores the fresh-
+    // process behavior the reference binary relies on, deterministically.
     mallopt(M_MMAP_THRESHOLD, 4096);
+    // keep freed mmap chunks from being cached and handed back dirty
+    mallopt(M_TRIM_THRESHOLD, 0);
 #endif
 
     LoadedModel *m = new LoadedModel();
@@ -199,17 +212,9 @@ int zv_stages_load(const char *gguf_path,
         if (ctx_gguf)
             gguf_free(ctx_gguf);
         destroy(m);
-#if defined(__GLIBC__)
-        mallopt(M_MMAP_THRESHOLD, 128 * 1024);
-#endif
         return -1;
     }
 
-#if defined(__GLIBC__)
-    // back to (a static approximation of) the default for the rest of the
-    // host process — the buffers that must be zero-born exist now
-    mallopt(M_MMAP_THRESHOLD, 128 * 1024);
-#endif
     g_model = m;
     return 0;
 }
