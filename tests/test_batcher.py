@@ -39,9 +39,10 @@ def _utt(rng):
 
 
 class _SlowEngine:
-    """Engine wrapper adding a fixed in-flight delay, making coalescing
-    deterministic: requests submitted during a dispatch are GUARANTEED
-    to be queued when the dispatcher comes back (no scheduling luck)."""
+    """Engine wrapper adding a fixed DISPATCH delay, making coalescing
+    deterministic: the delay holds the dispatcher thread inside
+    synthesize_async, so requests submitted meanwhile are GUARANTEED to
+    be queued when the dispatcher comes back (no scheduling luck)."""
 
     def __init__(self, engine, delay_s):
         self._engine = engine
@@ -51,9 +52,9 @@ class _SlowEngine:
     def batch_ladder(self):
         return self._engine.batch_ladder
 
-    def synthesize_packed(self, *a, **kw):
+    def synthesize_async(self, *a, **kw):
         time.sleep(self._delay_s)
-        return self._engine.synthesize_packed(*a, **kw)
+        return self._engine.synthesize_async(*a, **kw)
 
 
 def test_concurrent_requests_coalesce_and_match(engine):
@@ -111,6 +112,61 @@ def test_idle_request_dispatches_immediately(engine):
         # generous: well under the 2 s window, comparable to direct
         assert lone < direct + 1.0, (lone, direct)
         assert b.snapshot()["dispatches"] >= 2
+    finally:
+        b.stop()
+
+
+class _SlowFetchEngine:
+    """Engine wrapper whose FETCH (not dispatch) is slow: pipelining means
+    two batches' fetches overlap on the completion pool."""
+
+    def __init__(self, engine, delay_s):
+        self._engine = engine
+        self._delay_s = delay_s
+
+    @property
+    def batch_ladder(self):
+        return self._engine.batch_ladder
+
+    def synthesize_async(self, *a, **kw):
+        inner = self._engine.synthesize_async(*a, **kw)
+
+        def fetch():
+            time.sleep(self._delay_s)
+            return inner()
+
+        return fetch
+
+
+def test_dispatch_and_fetch_pipeline(engine):
+    """Two separate dispatches with 0.4 s fetches must complete in well
+    under 0.8 s: the dispatcher hands fetch() to the completion pool and
+    immediately dispatches the next batch (the r4 pipelining)."""
+    b = DynamicBatcher(_SlowFetchEngine(engine, 0.4), window_ms=1.0)
+    try:
+        rng = np.random.default_rng(5)
+        u1, u2 = _utt(rng), _utt(rng)
+        b.synthesize(*u1)                        # warm + prime pool
+        results = [None, None]
+
+        def worker(i, u):
+            results[i] = b.synthesize(*u)
+
+        t0 = time.perf_counter()
+        t1 = threading.Thread(target=worker, args=(0, u1))
+        t1.start()
+        time.sleep(0.1)       # let dispatch 1 get taken alone
+        t2 = threading.Thread(target=worker, args=(1, u2))
+        t2.start()
+        t1.join(timeout=120)
+        t2.join(timeout=120)
+        wall = time.perf_counter() - t0
+        assert all(r is not None for r in results)
+        stats = b.snapshot()
+        assert stats["dispatches"] >= 3          # warm + 2 separate
+        # serial dispatch->fetch->dispatch->fetch would be >= 0.9 s
+        # (0.1 stagger + 2 x 0.4); the pipeline overlaps the fetches
+        assert wall < 0.75, (wall, stats)
     finally:
         b.stop()
 

@@ -11,13 +11,21 @@ per-utterance latency.
 
 `DynamicBatcher` is continuous batching with a fill window: a request
 enqueues and blocks; a dispatcher thread pops compatible requests (up to
-the engine's ladder top) and runs ONE `synthesize_packed` call — which
-already buckets mixed lengths and pads group sizes to the batch ladder,
-so the compile-key set stays exactly the warmup()-covered set.  A lone
-request on an idle daemon dispatches IMMEDIATELY (zero added latency);
-coalescing comes from requests that arrive while a dispatch is in
-flight, plus up to `window_ms` of extra fill time that only applies when
-the engine was already busy.
+the engine's ladder top) and makes ONE `synthesize_async` dispatch —
+ladder-padded, so the compile-key set stays exactly the warmup()-covered
+set.  A lone request on an idle daemon dispatches IMMEDIATELY (zero
+added latency); coalescing comes from requests that arrive while a
+dispatch is in flight, plus up to `window_ms` of extra fill time that
+only applies when the engine was already busy.
+
+Dispatch and fetch are PIPELINED: the dispatcher hands each batch's
+fetch() closure to a small completion pool and immediately forms the
+next batch, so batch k+1's device compute overlaps batch k's host fetch
+(measured 845 -> 583 ms for 4 B=8 rounds on the chip,
+scripts/measure_packed_phases.py).  `max_inflight` dispatches may be in
+flight at once — the semaphore doubles as backpressure: when the device
+is saturated the dispatcher blocks, the queue fills, and the next batch
+forms larger (continuous batching's natural feedback loop).
 
 Off by default (the measured single-request latency story stays intact);
 enable with `TTSServer(batch_window_ms=...)` / CLI `--batch-window-ms`.
@@ -48,11 +56,12 @@ class _Pending:
 
 
 class DynamicBatcher:
-    """Blocking facade over TTSEngine.synthesize_packed with coalescing."""
+    """Blocking facade over TTSEngine.synthesize_async with coalescing."""
 
     def __init__(self, engine, window_ms: float = 5.0,
                  max_batch: Optional[int] = None,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 max_inflight: int = 3):
         self.engine = engine
         self.window_s = float(window_ms) / 1e3
         self.max_batch = int(max_batch or engine.batch_ladder[-1])
@@ -60,6 +69,13 @@ class DynamicBatcher:
         self._cond = threading.Condition()
         self._queue: List[_Pending] = []
         self._stop = False
+        # pipelining: bound the number of dispatched-but-unfetched batches
+        # (device queue depth / HBM for their outputs), and complete them
+        # on a pool so fetches overlap the next dispatch
+        from concurrent.futures import ThreadPoolExecutor
+        self._inflight = threading.Semaphore(max(1, int(max_inflight)))
+        self._pool = ThreadPoolExecutor(max_workers=max(1, int(max_inflight)),
+                                        thread_name_prefix="zv-fetch")
         # observability (GET /metrics): dispatch count, packed request
         # count, and the largest batch actually formed
         self._stats_lock = threading.Lock()
@@ -134,28 +150,48 @@ class DynamicBatcher:
         while True:
             batch = self._take_batch()
             if not batch:
-                return                     # stopped and drained
+                # stopped and drained; wait for in-flight completions
+                self._pool.shutdown(wait=True)
+                return
+            self._inflight.acquire()
             trim, pcm16 = batch[0].key
             try:
-                wavs, mel_len = self.engine.synthesize_packed(
+                fetch = self.engine.synthesize_async(
                     np.concatenate([q.src for q in batch]),
                     np.concatenate([q.pun for q in batch]),
                     np.concatenate([q.style for q in batch]),
                     np.concatenate([q.n for q in batch]),
                     trim=trim, pcm16=pcm16)
-                for i, q in enumerate(batch):
-                    q.wav, q.mel_len = wavs[i], int(mel_len[i])
-            except BaseException as e:     # deliver failures to the waiters
-                for q in batch:
-                    q.error = e
-            finally:
-                with self._stats_lock:
-                    self.stats["dispatches"] += 1
-                    self.stats["requests"] += len(batch)
-                    self.stats["max_batch"] = max(self.stats["max_batch"],
-                                                  len(batch))
-                for q in batch:
-                    q.done.set()
+            except BaseException as e:     # dispatch failed: deliver now
+                self._inflight.release()
+                self._finish(batch, error=e)
+                continue
+            self._pool.submit(self._complete, batch, fetch)
+
+    def _complete(self, batch: List[_Pending], fetch):
+        """Completion-pool worker: block on the fetch, deliver results."""
+        try:
+            wavs, mel_len = fetch()
+            for i, q in enumerate(batch):
+                q.wav, q.mel_len = wavs[i], int(mel_len[i])
+            error = None
+        except BaseException as e:         # deliver failures to the waiters
+            error = e
+        finally:
+            self._inflight.release()
+        self._finish(batch, error=error)
+
+    def _finish(self, batch: List[_Pending], error=None):
+        if error is not None:
+            for q in batch:
+                q.error = error
+        with self._stats_lock:
+            self.stats["dispatches"] += 1
+            self.stats["requests"] += len(batch)
+            self.stats["max_batch"] = max(self.stats["max_batch"],
+                                          len(batch))
+        for q in batch:
+            q.done.set()
 
     def snapshot(self) -> dict:
         with self._stats_lock:

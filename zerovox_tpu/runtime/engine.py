@@ -292,11 +292,10 @@ class TTSEngine:
         bucket always covers the true length, so speculation never rolls
         back; it just skips the bucket compute saving, which at B=1 is ~5 ms
         against the ~30 ms RTT it removes (the streaming TTFA trick,
-        models/streaming.py).  The one-fetch trick needs the whole batch in
-        ONE vocoder dispatch, so it engages for any batch up to the ladder
-        top (padded to the ladder — compile keys stay bounded); larger
-        batches fall through to the ladder-split path even with
-        single_rtt=True.  With single_rtt off, the whole batch vocodes at
+        models/streaming.py).  single_rtt=True delegates to
+        synthesize_async()+fetch: any batch size works (ladder chunks are
+        all dispatched before the first fetch blocks — compile keys stay
+        bounded).  With single_rtt off, the whole batch vocodes at
         the bucket of its longest utterance; for mixed-length batches use
         synthesize_packed(), which routes each bucket group separately.
         """
@@ -305,27 +304,10 @@ class TTSEngine:
             raise ValueError("empty batch")
         if single_rtt is None:
             single_rtt = B0 == 1
-        if single_rtt and B0 <= self.batch_ladder[-1]:
-            cfg = self.cfg
-            src = jnp.asarray(src_seq, jnp.int32)
-            pun = jnp.asarray(puncts, jnp.int32)
-            sty = jnp.asarray(style_embed, jnp.float32)
-            nph = (jnp.full((B0,), cfg.max_n_phonemes, jnp.int32)
-                   if num_phonemes is None
-                   else jnp.asarray(num_phonemes, jnp.int32))
-            (padded, _), = self._ladder_chunks(range(B0))
-            if len(padded) != B0:          # pad rows up to the ladder size
-                idx = jnp.asarray(padded, jnp.int32)
-                src, pun, sty, nph = (jnp.take(a, idx, axis=0)
-                                      for a in (src, pun, sty, nph))
-            mel, mel_len = self._front(self.params, src, pun, sty, nph)
-            bucket = self.mel_buckets[-1]
-            wav = self._back_fn(bucket, pcm16)(
-                self.params, self._data_sharded(mel[:, :bucket]))
-            wav_h, mel_len_h = jax.device_get((wav, mel_len))   # ONE fetch
-            wav_h = self._host_wav(wav_h, pcm16)[:B0]
-            mel_len_h = np.asarray(mel_len_h)[:B0]
-            return self._trim(wav_h, mel_len_h, trim), mel_len_h
+        if single_rtt:
+            return self.synthesize_async(src_seq, puncts, style_embed,
+                                         num_phonemes=num_phonemes,
+                                         trim=trim, pcm16=pcm16)()
 
         mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
@@ -341,6 +323,67 @@ class TTSEngine:
 
         wav_h = self._vocode_ladder(mel, bucket, pcm16)
         return self._trim(wav_h, mel_len_h, trim), mel_len_h
+
+    def synthesize_async(self, src_seq, puncts, style_embed,
+                         num_phonemes=None, trim: bool = True,
+                         pcm16: bool = False):
+        """Dispatch synthesis WITHOUT blocking; returns a fetch() closure.
+
+        The B=1 single-RTT trick generalized into a dispatch/fetch split:
+        the front and a speculative MAX-BUCKET vocoder are enqueued with
+        zero host syncs (the max bucket always covers the true mel length,
+        so speculation never rolls back — it only skips the bucket compute
+        saving, a few ms of MXU time against the ~30 ms round trip each
+        sync would cost), and fetch() collects wav + mel_len in ONE
+        device_get per ladder chunk, trimming on host.
+
+        Because dispatch returns immediately, a caller (the DynamicBatcher's
+        dispatcher thread) can enqueue batch k+1 while batch k's device
+        compute and host fetch are still in flight — measured on the chip:
+        4 B=8 full-bucket rounds take 845 ms serially (dispatch->fetch->
+        dispatch) vs 583 ms with dispatches enqueued eagerly and fetches
+        overlapped on threads (scripts/measure_packed_phases.py).
+
+        Batches larger than the ladder top split into ladder chunks, all
+        dispatched before fetch() blocks on any of them.  Compile keys are
+        the warmup() set (ladder fronts + max-bucket vocoders).
+        """
+        cfg = self.cfg
+        B0 = int(np.shape(src_seq)[0])
+        if B0 == 0:
+            raise ValueError("empty batch")
+        src = jnp.asarray(src_seq, jnp.int32)
+        pun = jnp.asarray(puncts, jnp.int32)
+        sty = jnp.asarray(style_embed, jnp.float32)
+        nph = (jnp.full((B0,), cfg.max_n_phonemes, jnp.int32)
+               if num_phonemes is None
+               else jnp.asarray(num_phonemes, jnp.int32))
+        bucket = self.mel_buckets[-1]
+        back = self._back_fn(bucket, pcm16)
+        chunks = []
+        for padded, n in self._ladder_chunks(range(B0)):
+            if padded == list(range(B0)):          # fast path: no shuffle
+                s, p, st, np_ = src, pun, sty, nph
+            else:
+                idx = jnp.asarray(padded, jnp.int32)
+                s, p, st, np_ = (jnp.take(a, idx, axis=0)
+                                 for a in (src, pun, sty, nph))
+            mel, mel_len = self._front(self.params, s, p, st, np_)
+            wav = back(self.params, self._data_sharded(mel[:, :bucket]))
+            chunks.append((wav, mel_len, n))
+
+        def fetch() -> Tuple[List[np.ndarray], np.ndarray]:
+            wavs: List[np.ndarray] = []
+            lens = []
+            for wav, mel_len, n in chunks:
+                wav_h, len_h = jax.device_get((wav, mel_len))  # ONE fetch
+                wav_h = self._host_wav(wav_h, pcm16)[:n]
+                len_h = np.asarray(len_h)[:n]
+                wavs.extend(self._trim(wav_h, len_h, trim))
+                lens.append(len_h)
+            return wavs, np.concatenate(lens)
+
+        return fetch
 
     def synthesize_packed(self, src_seq, puncts, style_embed,
                           num_phonemes=None, trim: bool = True,
