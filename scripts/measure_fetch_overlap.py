@@ -1,0 +1,134 @@
+"""Fetch-style A/B for the batched serving path, on real computed arrays.
+
+A B=8 max-bucket dispatch's wav is ~7.2 MB int16.  Through the tunnel the
+single device_get is one serial transfer; the batching-off daemon instead
+overlaps 8 separate ~0.9 MB fetches on 8 handler threads.  Measures, on
+arrays produced by the REAL engine programs (not jnp.zeros, which the
+plugin can satisfy host-side):
+
+  a. one device_get of the (8, n) wav + mel_len
+  b. 8 per-row device_gets, serial
+  c. 8 per-row device_gets on 8 threads
+  d. 2 concurrent B=8 dispatch+fetch rounds, each fetching per-row on
+     4 threads (the proposed batcher fetch style, pipelined)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+os.environ.setdefault(
+    "ZV_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "xla-cache"))
+
+import numpy as np
+
+
+def p50(xs):
+    return float(np.median(xs) * 1e3)
+
+
+def main():
+    from zerovox_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(os.environ["ZV_COMPILE_CACHE"])
+    import jax
+    import jax.numpy as jnp
+    from zerovox_tpu.config import ZeroVoxConfig
+    from zerovox_tpu.params import init_params
+    from zerovox_tpu.runtime.engine import TTSEngine
+
+    cfg = ZeroVoxConfig(compute_dtype="bfloat16")
+    params = init_params(cfg, seed=0)
+    eng = TTSEngine(params, cfg, precision="bfloat16")
+    t0 = time.perf_counter()
+    eng.warmup(batch=eng.batch_ladder[-1], pcm16=True)
+    print(f"warmup {time.perf_counter() - t0:.1f}s", flush=True)
+
+    P, D = cfg.max_n_phonemes, cfg.d_model
+    r = np.random.default_rng(0)
+    src = jnp.asarray(r.integers(1, cfg.num_phonemes, size=(8, P)), jnp.int32)
+    pun = jnp.asarray(r.integers(0, cfg.num_puncts, size=(8, P)), jnp.int32)
+    sty = jnp.asarray(r.normal(scale=0.1, size=(8, D)), jnp.float32)
+    nph = jnp.full((8,), P, jnp.int32)
+    bucket = eng.mel_buckets[-1]
+
+    def dispatch():
+        mel, mel_len = eng._front(eng.params, src, pun, sty, nph)
+        wav = eng._back_fn(bucket, True)(eng.params, mel[:, :bucket])
+        return wav, mel_len
+
+    wav, mel_len = dispatch()
+    jax.block_until_ready(wav)
+
+    reps = 6
+    out = {}
+
+    # a. one bulk fetch
+    ts = []
+    for _ in range(reps):
+        w, l = dispatch()
+        t0 = time.perf_counter()
+        jax.device_get((w, l))
+        ts.append(time.perf_counter() - t0)
+    out["bulk_fetch_ms"] = p50(ts)
+    print(json.dumps({"bulk_fetch_ms": out["bulk_fetch_ms"]}), flush=True)
+
+    # b. per-row serial
+    ts = []
+    for _ in range(reps):
+        w, l = dispatch()
+        rows = [w[i] for i in range(8)]
+        t0 = time.perf_counter()
+        for x in rows:
+            jax.device_get(x)
+        jax.device_get(l)
+        ts.append(time.perf_counter() - t0)
+    out["row_serial_ms"] = p50(ts)
+    print(json.dumps({"row_serial_ms": out["row_serial_ms"]}), flush=True)
+
+    # c. per-row on 8 threads
+    ts = []
+    for _ in range(reps):
+        w, l = dispatch()
+        rows = [w[i] for i in range(8)]
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=jax.device_get, args=(x,))
+                   for x in rows]
+        for th in threads:
+            th.start()
+        jax.device_get(l)
+        for th in threads:
+            th.join()
+        ts.append(time.perf_counter() - t0)
+    out["row_threads_ms"] = p50(ts)
+    print(json.dumps({"row_threads_ms": out["row_threads_ms"]}), flush=True)
+
+    # d. two concurrent dispatch+row-fetch rounds (pipelined batcher style)
+    def round_(k):
+        w, l = dispatch()
+        rows = [w[i] for i in range(8)]
+        threads = [threading.Thread(target=jax.device_get, args=(x,))
+                   for x in rows]
+        for th in threads:
+            th.start()
+        jax.device_get(l)
+        for th in threads:
+            th.join()
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        t1 = threading.Thread(target=round_, args=(0,))
+        t2 = threading.Thread(target=round_, args=(1,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        ts.append(time.perf_counter() - t0)
+    out["two_rounds_rows_threads_ms"] = p50(ts)
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

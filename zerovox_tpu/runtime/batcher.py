@@ -2,12 +2,15 @@
 
 The reference processes exactly one utterance per process
 (/root/reference/src/zerovox.cpp:396-406); a serving daemon sees many
-concurrent independent requests.  Running each at B=1 leaves MXU
-throughput on the table: the measured batch scaling is linear (B=8 runs
-8 utterances in ~28 ms where B=1 takes ~3.5 ms each — docs/ARCHITECTURE
-§8), so under load, packing concurrent requests into one dispatch
-multiplies per-chip throughput by ~the batch size at roughly constant
-per-utterance latency.
+concurrent independent requests.  Device batch scaling is linear (B=8
+runs 8 utterances in ~28 ms where B=1 takes ~3.5 ms each —
+docs/ARCHITECTURE §8), so what coalescing buys is NOT more device
+throughput but amortization of per-dispatch overhead (program launch,
+host work, and any host<->device round-trip latency) over the batch.
+Through the ~30 ms-RTT / ~40 MB/s axon tunnel the measured A/B says
+leave it OFF (transfers are the wall — ARCHITECTURE §13); on a
+co-located deployment the amortization term is what remains and the
+window earns its keep.
 
 `DynamicBatcher` is continuous batching with a fill window: a request
 enqueues and blocks; a dispatcher thread pops compatible requests (up to
