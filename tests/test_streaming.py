@@ -70,6 +70,32 @@ def test_stream_end_to_end(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_stream_dispatch_ahead_bit_identical(rng):
+    """The dispatch-ahead window (r4: overlapped per-chunk RTTs, 888 ->
+    143 ms on the chip) must not change a single sample: ahead=1
+    (fetch-before-next-dispatch, the old serialized behavior) and the
+    unbounded default yield identical chunk streams."""
+    params = init_params(CFG, seed=0)
+    src = rng.integers(0, CFG.num_phonemes + 1, size=(1, CFG.max_n_phonemes))
+    pun = rng.integers(0, CFG.num_puncts + 1, size=(1, CFG.max_n_phonemes))
+    style = rng.normal(scale=0.1, size=(1, CFG.d_model)).astype(np.float32)
+
+    chunks_by_ahead = {}
+    for ahead in (1, 2, None):
+        s = StreamingSynthesizer(params, CFG, chunk_frames=16, overlap=8,
+                                 ahead=ahead)
+        chunks_by_ahead[ahead] = list(s.stream(src, pun, style))
+    ref = chunks_by_ahead[None]
+    for ahead in (1, 2):
+        got = chunks_by_ahead[ahead]
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="ahead"):
+        StreamingSynthesizer(params, CFG, ahead=0)
+
+
 def test_nondividing_chunk_default_geometry(rng):
     """VERDICT r1 weak #2: the production default (--chunk-frames 64 with
     max_seq_len=1500) has max_seq_len % chunk != 0.  Same shape class here:
