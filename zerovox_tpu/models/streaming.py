@@ -159,18 +159,26 @@ class StreamingSynthesizer:
 
     def warmup(self, batch: int = 1):
         """Trigger all compiles off the latency path (every program the
-        full-buffer plan can produce, which subsumes shorter plans)."""
+        full-buffer plan can produce, which subsumes shorter plans).
+
+        Outputs are fetched before returning: through the axon tunnel,
+        compiles are asynchronous and dispatches queue, so a
+        dispatch-only warmup leaves minutes of backlog for the first
+        real stream to eat (see TTSEngine.warmup)."""
         cfg = self.cfg
         src = jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32)
         style = jnp.zeros((batch, cfg.d_model), jnp.float32)
-        mel, _, _ = self._prefix(self.params, src, src, style,
-                                 jnp.zeros((batch,), jnp.int32))
+        mel, mel_len, _ = self._prefix(self.params, src, src, style,
+                                       jnp.zeros((batch,), jnp.int32))
         T = cfg.max_seq_len
+        outs = [mel_len]
         for ws, size, e_from, e_frames in self.chunk_plan(
                 T, -(-T // self.chunk_frames)):
-            self.program(size, e_from, e_frames)(
-                self.params, jnp.zeros((batch, size, cfg.num_mels), mel.dtype))
-            self._sprogram(size, e_from, e_frames)(self.params, mel, ws)
+            outs.append(self.program(size, e_from, e_frames)(
+                self.params, jnp.zeros((batch, size, cfg.num_mels), mel.dtype)))
+            outs.append(self._sprogram(size, e_from, e_frames)(
+                self.params, mel, ws))
+        jax.device_get(outs)
 
     def chunk_plan(self, T: int, n_chunks: int):
         """Static plan: (window_start, window_size, emit_from, emit_frames)

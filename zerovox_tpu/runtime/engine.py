@@ -216,7 +216,15 @@ class TTSEngine:
         <= ladder_size(batch).  Both paths only ever run at ladder sizes
         (_dispatch_front pads/splits to the ladder), so this covers ALL
         request batch sizes once batch >= the ladder top.
-        pcm16=True additionally warms the int16-output variants."""
+        pcm16=True additionally warms the int16-output variants.
+
+        Every program's output is FETCHED before warmup returns: through
+        the axon tunnel, compiles run asynchronously and dispatches
+        queue, so a dispatch-only warmup returns with minutes of backlog
+        still in flight and the first real request eats it (observed:
+        the daemon's priming /synthesize timing out at 300 s on every
+        fresh start).  jax.block_until_ready does not synchronize
+        through the tunnel; a device_get does."""
         cfg = self.cfg
         sizes = sorted(s for s in self.batch_ladder
                        if s <= self.ladder_size(batch))
@@ -224,11 +232,13 @@ class TTSEngine:
         for s in sizes:
             src = jnp.zeros((s, cfg.max_n_phonemes), jnp.int32)
             style = jnp.zeros((s, cfg.d_model), jnp.float32)
-            mel, _ = self._front(self.params, src, src, style,
-                                 jnp.zeros((s,), jnp.int32))
+            mel, mel_len = self._front(self.params, src, src, style,
+                                       jnp.zeros((s,), jnp.int32))
+            outs = [mel_len]
             for b in self.mel_buckets:
                 for v in variants:
-                    self._back_fn(b, v)(self.params, mel[:, :b])
+                    outs.append(self._back_fn(b, v)(self.params, mel[:, :b]))
+            jax.device_get(outs)
 
     def reload_params(self, params):
         """Hot-swap model weights; every compiled program stays valid.
