@@ -34,4 +34,9 @@ run daemon_stream4    python scripts/bench_daemon.py --reps 6 --no-batch --strea
 # dynamic-batching A/B under 8 concurrent clients (req/s + p50)
 run daemon_load_off   python scripts/bench_daemon.py --reps 6 --no-batch --load 8
 run daemon_load_on    python scripts/bench_daemon.py --reps 6 --no-batch --load 8 --batch-window-ms 10
+# serving-path phase costs + fetch-bandwidth/overlap + stream dispatch-ahead
+# (the session-3 investigations: §13 transfer-wall A/B, stream 888->143 ms)
+run packed_phases     python scripts/measure_packed_phases.py
+run fetch_overlap     python scripts/measure_fetch_overlap.py
+run stream_ahead      python scripts/measure_stream_ahead.py
 echo "=== all done ($(date +%H:%M:%S)); logs in $OUT/"
