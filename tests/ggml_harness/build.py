@@ -28,6 +28,8 @@ HARNESS_C = Path(__file__).resolve().parent / "harness.c"
 HARNESS_SO = CACHE / "zv_ggml_harness.so"
 STAGE_CPP = Path(__file__).resolve().parent / "stage_harness.cpp"
 STAGE_SO = CACHE / "zv_ggml_stages.so"
+ZEROMALLOC_C = Path(__file__).resolve().parent / "zeromalloc.c"
+ZEROMALLOC_SO = CACHE / "zv_zeromalloc.so"
 # the reference's own stage classes, compiled unmodified as the diff subject
 STAGE_REF_SOURCES = ("fs2encoder.cpp", "stylettsdec.cpp", "hifigan.cpp",
                      "utils.cpp")
@@ -145,6 +147,23 @@ def _build_stage_harness() -> Optional[str]:
     if r.returncode:
         return f"stage harness compile failed: {r.stderr[-600:]}"
     return None
+
+
+def get_zeromalloc() -> Optional[str]:
+    """Build (once) and return the LD_PRELOAD zeroing-allocator path for
+    the stage worker, or None when it cannot be built (the worker then
+    runs without it — the differential tests may flake on the reference's
+    uninitialized-memory reads; see zeromalloc.c)."""
+    if (ZEROMALLOC_SO.exists()
+            and ZEROMALLOC_SO.stat().st_mtime >= ZEROMALLOC_C.stat().st_mtime):
+        return str(ZEROMALLOC_SO)
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if not cc:
+        return None
+    ZEROMALLOC_SO.parent.mkdir(parents=True, exist_ok=True)
+    r = _run([cc, "-shared", "-fPIC", "-O2", str(ZEROMALLOC_C),
+              "-o", str(ZEROMALLOC_SO)])
+    return str(ZEROMALLOC_SO) if r.returncode == 0 else None
 
 
 def _declare_stages(lib: ctypes.CDLL):

@@ -179,6 +179,19 @@ class RefStages:
             p for p in (os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))),
                         env.get("PYTHONPATH", "")) if p)
+        # Zero-born allocations for the WHOLE worker: the reference
+        # classes read uninitialized allocator memory (ConvTranspose gaps,
+        # ggml's per-compute work buffer) and are only correct when every
+        # allocation arrives zeroed — true for fresh mmap pages, false
+        # for free-list reuse, which no mallopt can prevent.  The
+        # LD_PRELOAD shim (zeromalloc.c) makes it true unconditionally;
+        # observed failure modes without it: constant bias-only wav, NaN
+        # tail, all-samples-off — nondeterministic with heap layout.
+        from .build import get_zeromalloc
+        zm = get_zeromalloc()
+        if zm:
+            env["LD_PRELOAD"] = os.pathsep.join(
+                p for p in (zm, env.get("LD_PRELOAD", "")) if p)
         self._proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
