@@ -229,16 +229,21 @@ class TTSEngine:
         sizes = sorted(s for s in self.batch_ladder
                        if s <= self.ladder_size(batch))
         variants = (False, True) if pcm16 else (False,)
+        # dispatch EVERY program before fetching ANY: the tunnel's
+        # compiles are asynchronous, so this puts all of them in flight
+        # at once and the single fetch waits for the slowest instead of
+        # paying the per-ladder-size sum
+        outs = []
         for s in sizes:
             src = jnp.zeros((s, cfg.max_n_phonemes), jnp.int32)
             style = jnp.zeros((s, cfg.d_model), jnp.float32)
             mel, mel_len = self._front(self.params, src, src, style,
                                        jnp.zeros((s,), jnp.int32))
-            outs = [mel_len]
+            outs.append(mel_len)
             for b in self.mel_buckets:
                 for v in variants:
                     outs.append(self._back_fn(b, v)(self.params, mel[:, :b]))
-            jax.device_get(outs)
+        jax.device_get(outs)
 
     def reload_params(self, params):
         """Hot-swap model weights; every compiled program stays valid.
