@@ -83,10 +83,13 @@ def main(argv=None):
                          "packed device dispatch (~batch-size x per-chip "
                          "throughput under load; adds at most the window "
                          "to latency). 0 = off")
-    ap.add_argument("--mesh", default=None, metavar="DATA,1",
-                    help="with --serve: pure-DP serving over a device mesh "
-                         "(each chip runs the full pipeline on its batch "
-                         "slice; pairs with --batch-window-ms)")
+    ap.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                    help="with --serve: multi-chip serving over a device "
+                         "mesh.  MODEL=1: pure DP (each chip runs the full "
+                         "pipeline on its batch slice; pairs with "
+                         "--batch-window-ms).  MODEL>1: tensor-parallel "
+                         "(channel-sharded front, time-sharded vocoder — "
+                         "one utterance spread across chips)")
     ap.add_argument("--allow-reload", action="store_true",
                     help="with --serve: enable POST /reload — hot-swap "
                          "weights from a new same-geometry GGUF without "
@@ -122,10 +125,6 @@ def main(argv=None):
                 d, m = parse_mesh_spec(args.mesh)
             except ValueError as e:
                 ap.error(str(e))
-            if m != 1:
-                ap.error(f"--mesh {args.mesh!r}: serving runs pure-DP "
-                         "meshes (model axis must be 1); TP inference is "
-                         "parallel.make_sharded_synthesize")
             mesh = make_mesh(data=d, model=m)
         server = TTSServer(params, cfg, host=args.host, port=args.port,
                            precision=args.precision, mel_buckets=buckets,

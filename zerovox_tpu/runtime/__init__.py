@@ -5,7 +5,7 @@ the streaming synthesizer, the client only stdlib + numpy."""
 
 from .engine import TTSEngine
 
-__all__ = ["TTSEngine", "TTSServer", "TTSClient"]
+__all__ = ["TTSEngine", "TPServingEngine", "TTSServer", "TTSClient"]
 
 
 def __getattr__(name):
@@ -15,4 +15,7 @@ def __getattr__(name):
     if name == "TTSClient":
         from .client import TTSClient
         return TTSClient
+    if name == "TPServingEngine":
+        from .tp_engine import TPServingEngine
+        return TPServingEngine
     raise AttributeError(name)

@@ -258,14 +258,30 @@ class TTSEngine:
         """
         if self.cfg.compute_dtype == "bfloat16":
             params = cast_params(params, jnp.bfloat16)
-        if (jax.tree.structure(self.host_params)
-                != jax.tree.structure(params)):
+        self._validate_same_geometry(self.host_params, params)
+        self.host_params = params
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import replicated_specs
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, replicated_specs(params))
+        # atomic reference swap (CPython): in-flight calls finish on the
+        # old tree; subsequent dispatches read the new one
+        self.params = params
+
+    @staticmethod
+    def _validate_same_geometry(old_params, new_params):
+        """Raise ValueError unless new_params has the exact pytree
+        structure and per-leaf shapes/dtypes of old_params (the condition
+        for a hot reload to re-key nothing)."""
+        if jax.tree.structure(old_params) != jax.tree.structure(new_params):
             raise ValueError("checkpoint parameter tree differs from the "
                              "loaded model's — geometry changed, restart "
                              "required")
-        old = jax.tree_util.tree_flatten_with_path(self.host_params)[0]
+        old = jax.tree_util.tree_flatten_with_path(old_params)[0]
         try:
-            new = jax.tree_util.tree_flatten_with_path(params)[0]
+            new = jax.tree_util.tree_flatten_with_path(new_params)[0]
             mismatches = [
                 (jax.tree_util.keystr(kp),
                  tuple(a.shape), str(a.dtype), tuple(b.shape), str(b.dtype))
@@ -279,16 +295,6 @@ class TTSEngine:
                 "checkpoint geometry mismatch (restart required): "
                 + "; ".join(f"{k}: {bs}/{bd} vs engine {as_}/{ad}"
                             for k, as_, ad, bs, bd in mismatches[:3]))
-        self.host_params = params
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from ..parallel.sharding import replicated_specs
-            params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                params, replicated_specs(params))
-        # atomic reference swap (CPython): in-flight calls finish on the
-        # old tree; subsequent dispatches read the new one
-        self.params = params
 
     # ------------------------------------------------------------------ API
     def synthesize(self, src_seq, puncts, style_embed,

@@ -200,11 +200,23 @@ class TTSServer:
         self.allow_reload = bool(allow_reload)
         self._reload_lock = threading.Lock()
         self.metrics = Metrics()
-        # mesh: pure-DP multi-chip serving — the engine shard_maps its
-        # front/vocoder programs over the data axis (engine.py); pairs
-        # naturally with dynamic batching, which fills the wider ladder
-        self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
-                                precision=precision, mesh=mesh)
+        # mesh: multi-chip serving.  Pure-DP (model axis == 1): the engine
+        # shard_maps its front/vocoder programs over the data axis
+        # (engine.py) — pairs naturally with dynamic batching, which fills
+        # the wider ladder.  Model axis > 1: tensor-parallel serving via
+        # TPServingEngine (tp_engine.py) — channel-sharded front +
+        # time-sharded vocoder, same ladder/warmup/PCM16/reload surface.
+        n_model = 1
+        if mesh is not None:
+            from ..parallel.mesh import MODEL_AXIS
+            n_model = mesh.shape.get(MODEL_AXIS, 1)
+        if n_model > 1:
+            from .tp_engine import TPServingEngine
+            self.engine = TPServingEngine(params, cfg, mesh,
+                                          precision=precision)
+        else:
+            self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
+                                    precision=precision, mesh=mesh)
         # the engine may have cast params/cfg for bf16 serving; the
         # streaming synthesizer must share that state (host_params: the
         # stream's one-utterance chunk programs stay single-device)
