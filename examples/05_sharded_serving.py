@@ -1,12 +1,15 @@
-"""Multi-chip serving: pure data parallelism over a jax.sharding.Mesh.
+"""Multi-chip serving: data-parallel AND tensor-parallel meshes.
 
-The engine shard_maps its front and vocoder programs over the mesh's
-data axis: each chip runs the complete local pipeline (fused Pallas
-kernels included) on its slice of the batch with ZERO collectives —
-the right topology for a model that fits on one chip (docs/SERVING.md).
-With --cpu this runs on a virtual 8-device CPU mesh (the same code path
-the driver's multichip dryrun validates); on a real pod slice it is the
-production `--serve --mesh 8,1` configuration.
+Pure DP (mesh d,1): the engine shard_maps its front and vocoder programs
+over the mesh's data axis — each chip runs the complete local pipeline
+(fused Pallas kernels included) on its slice of the batch with ZERO
+collectives; the right topology for a model that fits on one chip
+(docs/SERVING.md).  TP (mesh d,m): TPServingEngine channel-shards the
+front and time-shards the vocoder so ONE utterance spreads across chips
+— for checkpoints that outgrow a chip's HBM.  With --cpu this runs on a
+virtual 8-device CPU mesh (the same code path the driver's multichip
+dryrun validates); on a real pod slice these are the production
+`--serve --mesh 8,1` / `--serve --mesh 2,4` configurations.
 """
 
 import time
@@ -44,6 +47,22 @@ def main(argv=None):
     np.testing.assert_allclose(np.asarray(wavs[0]), np.asarray(w0[0]),
                                atol=5e-5)
     print("DP row 0 matches the single-device engine bit-for-bit(ish)")
+
+    # tensor parallelism: one utterance spread across the model axis
+    from zerovox_tpu.runtime.tp_engine import TPServingEngine
+    tp_mesh = make_mesh(data=max(1, n_dev // 4), model=min(4, n_dev))
+    tp = TPServingEngine(params, cfg, tp_mesh)
+    tp.warmup(batch=1)
+    t0 = time.perf_counter()
+    tp_wavs, _ = tp.synthesize(src[:1], pun[:1], style[:1], n[:1],
+                               trim=False)
+    wall = (time.perf_counter() - t0) * 1e3
+    print(f"TP {dict(zip(tp_mesh.axis_names, tp_mesh.devices.shape))} "
+          f"B=1 dispatch: {wall:.1f} ms")
+    np.testing.assert_allclose(np.asarray(tp_wavs[0]), np.asarray(w0[0]),
+                               atol=2e-4, rtol=1e-3)   # psum float reorder
+    print("TP wav matches the single-device engine within collective "
+          "float tolerance")
     return 0
 
 
