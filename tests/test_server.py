@@ -332,6 +332,68 @@ def test_metrics_keys_bounded(server):
     assert not any(k.startswith("/scan-") for k in m["endpoints"])
 
 
+def test_admission_control_sheds_load_503():
+    """With max_concurrent=1, a second request arriving while the first
+    is in flight answers 503 + Retry-After instead of queueing; the slot
+    frees afterwards and requests succeed again."""
+    import threading
+
+    params = init_params(TINY_CONFIG, seed=0)
+    s = TTSServer(params, TINY_CONFIG, port=0, warmup=True,
+                  chunk_frames=16, overlap=8, max_concurrent=1)
+    # hold the only slot deterministically: the first request blocks
+    # inside the engine until we release it
+    gate = threading.Event()
+    entered = threading.Event()
+    inner = s.engine.synthesize
+
+    def slow(*a, **kw):
+        entered.set()
+        gate.wait(timeout=60)
+        return inner(*a, **kw)
+
+    s.engine.synthesize = slow
+    s.start()
+    try:
+        host, port = s.address
+        body = json.dumps(_utt(TINY_CONFIG)).encode()
+        hdrs = {"Content-Type": "application/json"}
+
+        res1 = {}
+
+        def first():
+            c = http.client.HTTPConnection(host, port, timeout=120)
+            c.request("POST", "/synthesize", body, hdrs)
+            r = c.getresponse()
+            res1["status"] = r.status
+            r.read()
+
+        t = threading.Thread(target=first)
+        t.start()
+        assert entered.wait(timeout=30)
+        c = http.client.HTTPConnection(host, port, timeout=30)
+        c.request("POST", "/synthesize", body, hdrs)
+        r = c.getresponse()
+        assert r.status == 503
+        assert r.getheader("Retry-After") == "1"
+        r.read()
+        gate.set()
+        t.join(timeout=120)
+        assert res1["status"] == 200
+        # slot freed: a fresh request succeeds
+        c = http.client.HTTPConnection(host, port, timeout=120)
+        c.request("POST", "/synthesize", body, hdrs)
+        assert c.getresponse().status == 200
+        # the shed request is visible in the metrics as an error
+        c = http.client.HTTPConnection(host, port, timeout=30)
+        c.request("GET", "/metrics")
+        m = json.loads(c.getresponse().read())
+        assert m["endpoints"]["/synthesize"]["errors"] >= 1
+    finally:
+        gate.set()
+        s.shutdown()
+
+
 def test_overflow_phoneme_id_is_400(server):
     """An out-of-int32 phoneme id is malformed input: numpy raises
     OverflowError (outside the ValueError family), which the parser maps

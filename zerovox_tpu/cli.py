@@ -90,6 +90,10 @@ def main(argv=None):
                          "--batch-window-ms).  MODEL>1: tensor-parallel "
                          "(channel-sharded front, time-sharded vocoder — "
                          "one utterance spread across chips)")
+    ap.add_argument("--max-concurrent", type=int, default=64,
+                    help="with --serve: max in-flight synthesis/stream "
+                         "requests; excess answers 503 + Retry-After "
+                         "(fast load shedding)")
     ap.add_argument("--allow-reload", action="store_true",
                     help="with --serve: enable POST /reload — hot-swap "
                          "weights from a new same-geometry GGUF without "
@@ -131,7 +135,8 @@ def main(argv=None):
                            chunk_frames=args.chunk_frames,
                            overlap=args.overlap,
                            batch_window_ms=args.batch_window_ms,
-                           mesh=mesh, allow_reload=args.allow_reload)
+                           mesh=mesh, allow_reload=args.allow_reload,
+                           max_concurrent=args.max_concurrent)
         host, port = server.address
         print(f"serving on http://{host}:{port} "
               "(/healthz /metrics /synthesize /batch /stream"

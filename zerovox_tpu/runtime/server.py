@@ -186,7 +186,7 @@ class TTSServer:
                  warmup: bool = True,
                  max_body_bytes: int = 4 << 20, max_batch: int = 64,
                  batch_window_ms: float = 0.0, mesh=None,
-                 allow_reload: bool = False):
+                 allow_reload: bool = False, max_concurrent: int = 64):
         from .engine import TTSEngine
         from ..models.streaming import StreamingSynthesizer
 
@@ -199,6 +199,10 @@ class TTSServer:
         # behind a trusted admin plane
         self.allow_reload = bool(allow_reload)
         self._reload_lock = threading.Lock()
+        # admission control: at most max_concurrent synthesis/stream
+        # requests in flight; excess answers 503 + Retry-After (load is
+        # shed fast instead of piling threads on a saturated device)
+        self._admission = threading.Semaphore(max(1, int(max_concurrent)))
         self.metrics = Metrics()
         # mesh: multi-chip serving.  Pure-DP (model axis == 1): the engine
         # shard_maps its front/vocoder programs over the data axis
@@ -327,12 +331,29 @@ class TTSServer:
                 self._body_started = False
                 self._status = 200
                 try:
-                    if url.path == "/synthesize":
-                        return self._synthesize(url)
-                    if url.path == "/batch":
-                        return self._batch(url)
-                    if url.path == "/stream":
-                        return self._stream(url)
+                    if url.path in ("/synthesize", "/batch", "/stream"):
+                        # admission control: ThreadingHTTPServer spawns a
+                        # thread per connection, so without a cap an
+                        # overload storm piles unbounded threads (and
+                        # batcher queue) onto a device that can't keep
+                        # up.  Shed load FAST with 503 + Retry-After
+                        # instead — the client's retry lands when slots
+                        # free up.
+                        if not server._admission.acquire(blocking=False):
+                            self.send_response(503)
+                            self.send_header("Retry-After", "1")
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            self._status = 503
+                            return
+                        try:
+                            if url.path == "/synthesize":
+                                return self._synthesize(url)
+                            if url.path == "/batch":
+                                return self._batch(url)
+                            return self._stream(url)
+                        finally:
+                            server._admission.release()
                     if url.path == "/reload":
                         return self._reload(url)
                     return self._json(404, {"error": "unknown endpoint"})
