@@ -105,6 +105,114 @@ def test_parse_wav_bytes_rejects_garbage():
         parse_wav_bytes(b"not a wav" * 10)
 
 
+class _SheddingStub:
+    """Minimal HTTP stub that answers 503 + Retry-After n times, then 200.
+
+    Exercises the client's admission-control retry (server.py returns 503
+    when in-flight requests exceed --max-concurrent) without having to
+    race a real daemon into overload.
+    """
+
+    def __init__(self, shed_first_n: int):
+        import http.server
+        import threading
+
+        stub = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def _respond(self):
+                stub.hits += 1
+                if stub.hits <= shed_first_n:
+                    body = b'{"error": "server overloaded"}'
+                    self.send_response(503)
+                    self.send_header("Retry-After", "0.05")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path.startswith("/stream"):
+                    import struct
+                    pcm = np.arange(8, dtype="<i2").tobytes()
+                    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
+                           + b"WAVEfmt " + struct.pack(
+                               "<IHHIIHH", 16, 1, 1, 22050, 44100, 2, 16)
+                           + b"data" + struct.pack("<I", len(pcm)))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length",
+                                     str(len(hdr) + len(pcm)))
+                    self.end_headers()
+                    self.wfile.write(hdr + pcm)
+                    return
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            do_GET = do_POST = _respond
+
+            def log_message(self, *a):
+                pass
+
+        self.hits = 0
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_client_retries_503_until_success():
+    stub = _SheddingStub(shed_first_n=2)
+    try:
+        c = TTSClient("127.0.0.1", stub.port, timeout=10, retries_503=3)
+        assert c.health()["status"] == "ok"
+        assert stub.hits == 3          # 2 sheds + 1 success
+    finally:
+        stub.close()
+
+
+def test_client_503_exhausted_raises():
+    stub = _SheddingStub(shed_first_n=100)
+    try:
+        c = TTSClient("127.0.0.1", stub.port, timeout=10, retries_503=1)
+        with pytest.raises(TTSServerError) as ei:
+            c.health()
+        assert ei.value.status == 503
+        assert stub.hits == 2          # first try + 1 retry
+    finally:
+        stub.close()
+
+
+def test_client_stream_retries_503():
+    stub = _SheddingStub(shed_first_n=1)
+    try:
+        c = TTSClient("127.0.0.1", stub.port, timeout=10, retries_503=2)
+        pcm = np.concatenate(list(c.stream([1], [0.0])))
+        np.testing.assert_array_equal(pcm, np.arange(8, dtype=np.int16))
+        assert stub.hits == 2          # 1 shed + 1 success
+    finally:
+        stub.close()
+
+
+def test_client_retries_disabled():
+    stub = _SheddingStub(shed_first_n=1)
+    try:
+        c = TTSClient("127.0.0.1", stub.port, timeout=10, retries_503=0)
+        with pytest.raises(TTSServerError) as ei:
+            c.health()
+        assert ei.value.status == 503
+        assert stub.hits == 1
+    finally:
+        stub.close()
+
+
 def test_module_cli_oneshot_and_stream(client, server, tmp_path):
     from zerovox_tpu.io.wav import read_wav
     from zerovox_tpu.runtime.client import _main

@@ -26,6 +26,7 @@ from __future__ import annotations
 import http.client
 import json
 import struct
+import time
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -40,6 +41,15 @@ class TTSServerError(RuntimeError):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
         self.message = message
+
+
+def _retry_after_s(r: http.client.HTTPResponse) -> float:
+    """Clamped sleep interval from a 503's Retry-After header."""
+    try:
+        delay = float(r.getheader("Retry-After") or 1.0)
+    except (TypeError, ValueError):
+        delay = 1.0
+    return max(0.05, min(delay, 30.0))
 
 
 def _utterance_body(phonemes: Sequence[int], style: Sequence[float],
@@ -77,8 +87,12 @@ class TTSClient:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8765,
-                 timeout: float = 300.0):
+                 timeout: float = 300.0, retries_503: int = 3):
+        """retries_503: how many times to honor a 503 + Retry-After from
+        the daemon's admission control (load shedding) before raising.
+        0 disables retrying."""
         self.host, self.port, self.timeout = host, int(port), float(timeout)
+        self.retries_503 = int(retries_503)
 
     def _connect(self) -> http.client.HTTPConnection:
         return http.client.HTTPConnection(self.host, self.port,
@@ -86,18 +100,25 @@ class TTSClient:
 
     def _request(self, method: str, path: str, body: Optional[dict] = None
                  ) -> bytes:
-        c = self._connect()
-        try:
-            payload = None if body is None else json.dumps(body).encode()
-            c.request(method, path, payload,
-                      _JSON_HDRS if payload is not None else {})
-            r = c.getresponse()
-            data = r.read()
-            if r.status >= 300:
-                raise TTSServerError(r.status, _error_text(data))
-            return data
-        finally:
-            c.close()
+        payload = None if body is None else json.dumps(body).encode()
+        for attempt in range(self.retries_503 + 1):
+            c = self._connect()
+            try:
+                c.request(method, path, payload,
+                          _JSON_HDRS if payload is not None else {})
+                r = c.getresponse()
+                data = r.read()
+                if r.status == 503 and attempt < self.retries_503:
+                    # daemon shed the request (--max-concurrent); wait the
+                    # advertised interval and retry
+                    time.sleep(_retry_after_s(r))
+                    continue
+                if r.status >= 300:
+                    raise TTSServerError(r.status, _error_text(data))
+                return data
+            finally:
+                c.close()
+        raise AssertionError("unreachable")
 
     # -- introspection ----------------------------------------------------
 
@@ -163,13 +184,19 @@ class TTSClient:
         (PCM16 spans two reads) is carried into the next chunk.
         """
         path = "/stream" + ("?split=1" if split else "")
-        c = self._connect()
-        try:
-            c.request("POST", path,
-                      json.dumps(_utterance_body(phonemes, style,
-                                                 puncts)).encode(),
-                      _JSON_HDRS)
+        payload = json.dumps(_utterance_body(phonemes, style,
+                                             puncts)).encode()
+        for attempt in range(self.retries_503 + 1):
+            c = self._connect()
+            c.request("POST", path, payload, _JSON_HDRS)
             r = c.getresponse()
+            if r.status == 503 and attempt < self.retries_503:
+                r.read()
+                c.close()
+                time.sleep(_retry_after_s(r))
+                continue
+            break
+        try:
             if r.status >= 300:
                 raise TTSServerError(r.status, _error_text(r.read()))
             header = b""
@@ -233,7 +260,6 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
     cli = TTSClient(args.host, args.port)
     sr = cli.health()["sampling_rate"]
     if args.stream:
-        import time
         t0 = time.perf_counter()
         chunks, first = [], None
         for ch in cli.stream(utt["phonemes"], utt["style"],
