@@ -17,6 +17,10 @@ from __future__ import annotations
 import sys
 from functools import partial
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
