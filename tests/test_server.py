@@ -315,6 +315,43 @@ def test_metrics_endpoint(server):
     assert ep["p50_ms"] is not None and ep["max_ms"] >= ep["p50_ms"]
 
 
+def test_metrics_prometheus_format(server):
+    """GET /metrics?format=prometheus renders the same snapshot in the
+    Prometheus exposition format (text/plain; version=0.0.4) so a scrape
+    stack needs no adapter: counters per endpoint, latency-quantile
+    gauges in seconds, device gauges."""
+    # ensure at least one /synthesize sample exists
+    c = _conn(server)
+    c.request("POST", "/synthesize?trim=0",
+              json.dumps(_utt(TINY_CONFIG)).encode(),
+              {"Content-Type": "application/json"})
+    assert c.getresponse().status == 200
+
+    c = _conn(server)
+    c.request("GET", "/metrics?format=prometheus")
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type").startswith("text/plain")
+    text = r.read().decode()
+    assert "zerovox_uptime_seconds " in text
+    assert 'zerovox_requests_total{endpoint="/synthesize"}' in text
+    assert ('zerovox_request_latency_seconds{endpoint="/synthesize",'
+            'quantile="0.5"}') in text
+    # device inventory line is present even when the backend reports no
+    # memory stats (CPU/tunnel)
+    assert "zerovox_device_up{device=" in text
+    # cross-check one value against the JSON snapshot
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    snap = json.loads(c.getresponse().read())
+    count = snap["endpoints"]["/synthesize"]["count"]
+    # the prometheus scrape itself does not bump POST counters; the JSON
+    # snapshot was taken after, so counts can only match or exceed
+    row = [ln for ln in text.splitlines()
+           if ln.startswith('zerovox_requests_total{endpoint="/synthesize"')]
+    assert len(row) == 1 and int(row[0].rsplit(" ", 1)[1]) <= count
+
+
 def test_metrics_keys_bounded(server):
     """Unknown POST paths must not mint metrics entries: one ring buffer
     per attacker-chosen URL would grow server memory without bound

@@ -104,6 +104,50 @@ class Metrics:
             return out
 
 
+def prometheus_text(snap: dict) -> str:
+    """Render a /metrics snapshot in the Prometheus exposition format.
+
+    The JSON snapshot stays the primary schema (tests, bench_daemon);
+    this is the same data re-keyed for scrape-based monitoring
+    (GET /metrics?format=prometheus), so a production deployment plugs
+    into a standard Prometheus/Grafana stack without an adapter.
+    Latency quantiles are converted ms -> seconds per Prometheus
+    convention; they are windowed quantiles (last 512 requests), exposed
+    as gauges rather than a native summary.
+    """
+    lines = [
+        "# HELP zerovox_uptime_seconds Daemon uptime.",
+        "# TYPE zerovox_uptime_seconds gauge",
+        f"zerovox_uptime_seconds {snap['uptime_s']}",
+        "# TYPE zerovox_requests_total counter",
+        "# TYPE zerovox_request_errors_total counter",
+        "# TYPE zerovox_request_latency_seconds gauge",
+    ]
+    for name, ep in sorted(snap.get("endpoints", {}).items()):
+        lab = f'{{endpoint="{name}"}}'
+        lines.append(f"zerovox_requests_total{lab} {ep['count']}")
+        lines.append(f"zerovox_request_errors_total{lab} {ep['errors']}")
+        for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms"),
+                       ("1.0", "max_ms")):
+            if ep.get(key) is not None:
+                lines.append(
+                    f'zerovox_request_latency_seconds{{endpoint="{name}",'
+                    f'quantile="{q}"}} {ep[key] / 1e3:.6f}')
+    for d in snap.get("device", {}).get("devices", []):
+        lab = f'{{device="{d["id"]}",platform="{d["platform"]}"}}'
+        # info-style inventory line: always present even when the backend
+        # reports no memory stats (CPU, tunnel), so a dashboard can count
+        # devices and alert on the gauge disappearing
+        lines.append(f"zerovox_device_up{lab} 1")
+        for key in ("bytes_in_use", "bytes_limit"):
+            if key in d:
+                lines.append(f"zerovox_device_{key}{lab} {d[key]}")
+    for key, val in sorted(snap.get("batcher", {}).items()):
+        if isinstance(val, (int, float)):
+            lines.append(f"zerovox_batcher_{key} {val}")
+    return "\n".join(lines) + "\n"
+
+
 def parse_utterance_arrays(d: dict, cfg: ZeroVoxConfig
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Validate the utterance JSON schema into raw (ph, pu, style) arrays
@@ -293,12 +337,25 @@ class TTSServer:
                                            server.engine.cfg)
 
             def do_GET(self):
-                path = urlparse(self.path).path
+                url = urlparse(self.path)
+                path = url.path
                 if path == "/metrics":
                     snap = server.metrics.snapshot()
                     if server.batcher is not None:
                         snap["batcher"] = server.batcher.snapshot()
                     snap["device"] = _device_stats()
+                    fmt = parse_qs(url.query).get("format", [""])[0]
+                    if fmt == "prometheus":
+                        body = prometheus_text(snap).encode()
+                        self._status = 200
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "text/plain; version=0.0.4; charset=utf-8")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     return self._json(200, snap)
                 if path != "/healthz":
                     return self._json(404, {"error": "unknown endpoint"})
