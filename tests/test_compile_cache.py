@@ -44,6 +44,26 @@ def _run(cache_dir):
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
+def test_cache_keys_independent_of_cache_dir_location(tmp_path):
+    """Cache keys must not depend on the cache directory's own path.
+
+    jax's default embeds the GPU per-fusion autotune cache path (placed
+    UNDER the cache dir) into the hashed compile options, so two
+    processes pointing at different directories — or one cache that was
+    moved — could never share entries: every program re-keys and the
+    multi-minute warmup is re-paid (observed as full recompiles in the
+    r4 measurement battery).  enable_compile_cache disables that
+    GPU-only embedding; this pins that the SAME program run against two
+    DIFFERENT cache paths produces byte-identical key filenames."""
+    a = _run(tmp_path / "cache-here")
+    b = _run(tmp_path / "deeply" / "nested" / "elsewhere")
+    assert a["checksum"] == b["checksum"]
+    keys_a = sorted(p.name for p in (tmp_path / "cache-here").iterdir())
+    keys_b = sorted(p.name for p in
+                    (tmp_path / "deeply" / "nested" / "elsewhere").iterdir())
+    assert keys_a == keys_b, (keys_a, keys_b)
+
+
 def test_compile_cache_warm_start(tmp_path):
     cache = tmp_path / "xla-cache"
     cold = _run(cache)

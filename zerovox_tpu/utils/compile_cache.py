@@ -42,4 +42,14 @@ def enable_compile_cache(path: str,
     # default (>0) would skip small-but-slow-to-compile programs; the
     # time threshold above is the meaningful filter
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # By default jax places XLA's GPU per-fusion autotune cache under the
+    # cache dir and embeds that ABSOLUTE PATH in the hashed compile
+    # options — so every cache key depends on the cache directory's own
+    # location: a moved/renamed cache silently invalidates itself, and
+    # two processes pointing at different dirs can never share entries
+    # (found by byte-diffing the serialized CompileOptions of two
+    # processes whose only difference was the cache path).  The feature
+    # is GPU-only — dead weight on TPU/CPU — so drop it; keys become
+    # location-independent and the cache directory is relocatable.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     return path
