@@ -65,6 +65,9 @@ def test_healthz(server):
     d = json.loads(r.read())
     assert d["status"] == "ok"
     assert d["sampling_rate"] == TINY_CONFIG.sampling_rate
+    # backend build identity, for correlating warmup-time changes with
+    # backend rotations (a new build re-keys the compile cache)
+    assert "platform_version" in d
 
 
 def test_synthesize_returns_wav(server):
@@ -288,6 +291,7 @@ def test_metrics_reports_device_stats(server):
     assert "device" in d and "devices" in d["device"]
     assert len(d["device"]["devices"]) >= 1
     assert "platform" in d["device"]["devices"][0]
+    assert "platform_version" in d["device"]
 
 
 def test_metrics_endpoint(server):
@@ -298,11 +302,15 @@ def test_metrics_endpoint(server):
     c.request("POST", "/synthesize?trim=0",
               json.dumps(_utt(TINY_CONFIG)).encode(),
               {"Content-Type": "application/json"})
-    assert c.getresponse().status == 200
-    c = _conn(server)
+    r = c.getresponse()
+    assert r.status == 200
+    r.read()        # drain: dropping an unread WAV aborts the server's
+    c = _conn(server)   # write mid-body and records 499 instead of 200
     c.request("POST", "/synthesize", b"{}",
               {"Content-Type": "application/json"})
-    assert c.getresponse().status == 400
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
 
     c = _conn(server)
     c.request("GET", "/metrics")
@@ -320,12 +328,18 @@ def test_metrics_prometheus_format(server):
     Prometheus exposition format (text/plain; version=0.0.4) so a scrape
     stack needs no adapter: counters per endpoint, latency-quantile
     gauges in seconds, device gauges."""
-    # ensure at least one /synthesize sample exists
+    # ensure at least one /synthesize sample exists.  READ the body:
+    # dropping the connection with the WAV unread aborts the server's
+    # in-flight write, which is correctly recorded as 499 — and then no
+    # 200 row exists for the assertions below (a real flake: the row
+    # only appeared when earlier tests had already minted one)
     c = _conn(server)
     c.request("POST", "/synthesize?trim=0",
               json.dumps(_utt(TINY_CONFIG)).encode(),
               {"Content-Type": "application/json"})
-    assert c.getresponse().status == 200
+    r0 = c.getresponse()
+    assert r0.status == 200
+    r0.read()
 
     c = _conn(server)
     c.request("GET", "/metrics?format=prometheus")
@@ -417,10 +431,13 @@ def test_admission_control_sheds_load_503():
         gate.set()
         t.join(timeout=120)
         assert res1["status"] == 200
-        # slot freed: a fresh request succeeds
+        # slot freed: a fresh request succeeds (drain the WAV so the
+        # server's write completes before the metrics read below)
         c = http.client.HTTPConnection(host, port, timeout=120)
         c.request("POST", "/synthesize", body, hdrs)
-        assert c.getresponse().status == 200
+        r = c.getresponse()
+        assert r.status == 200
+        r.read()
         # the shed request is visible in the metrics as an error
         c = http.client.HTTPConnection(host, port, timeout=30)
         c.request("GET", "/metrics")

@@ -202,6 +202,15 @@ def _device_stats() -> dict:
     import jax
     out = []
     try:
+        # backend build identity: a rotated backend build legitimately
+        # re-keys every compiled program (the persistent compile cache
+        # hashes platform_version — ARCHITECTURE §13 "relocatable"), so
+        # an operator watching warmup times needs to see it change
+        version = ""
+        try:
+            version = jax.local_devices()[0].client.platform_version
+        except (IndexError, AttributeError, RuntimeError):
+            pass
         for d in jax.local_devices():
             row = {"id": d.id, "kind": d.device_kind,
                    "platform": d.platform}
@@ -216,7 +225,7 @@ def _device_stats() -> dict:
             out.append(row)
     except RuntimeError as e:           # backend gone mid-call
         return {"error": str(e)[:200]}
-    return {"devices": out}
+    return {"devices": out, "platform_version": version}
 
 
 class TTSServer:
@@ -366,6 +375,8 @@ class TTSServer:
                     "max_seq_len": cfg.max_seq_len,
                     "precision": cfg.compute_dtype,
                     "mel_buckets": list(server.engine.mel_buckets),
+                    "platform_version":
+                        _device_stats().get("platform_version", ""),
                 })
 
             # the metrics key set must be bounded: recording raw request
