@@ -60,8 +60,28 @@ def main():
     pun = rng.integers(0, cfg.num_puncts, size=(1, P)).astype(np.int32)
     sty = rng.normal(scale=0.1, size=(1, D)).astype(np.float32)
 
-    # ---- baseline: today's serialized loop --------------------------------
+    # ---- baseline: the pre-r4 serialized loop (ahead=1).  The shipped
+    # default is now ahead=None (unbounded dispatch-ahead), so s.stream()
+    # no longer measures a serial baseline — build an explicit ahead=1
+    # synthesizer sharing the same programs via the compile cache.
+    s_serial = StreamingSynthesizer(params, cfg, chunk_frames=64, overlap=16,
+                                    pcm16=True, ahead=1)
+    # share the compiled chunk/prefix programs (same geometry)
+    s_serial._programs = s._programs
+    s_serial._sprograms = s._sprograms
+
     def run_serial():
+        t0 = time.perf_counter()
+        ttfa = None
+        chunks = []
+        for c in s_serial.stream(src, pun, sty):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            chunks.append(c)
+        return time.perf_counter() - t0, ttfa, np.concatenate(chunks, axis=1)
+
+    # ---- shipped path: s.stream() with the default unbounded ahead --------
+    def run_shipped():
         t0 = time.perf_counter()
         ttfa = None
         chunks = []
@@ -111,7 +131,8 @@ def main():
     for name, fn in [("serial", run_serial),
                      ("ahead2", lambda: run_ahead(2)),
                      ("ahead4", lambda: run_ahead(4)),
-                     ("ahead_all", lambda: run_ahead(10 ** 6))]:
+                     ("ahead_all", lambda: run_ahead(10 ** 6)),
+                     ("shipped", run_shipped)]:
         walls, ttfas = [], []
         for _ in range(reps):
             w, t, wav = fn()
