@@ -109,11 +109,20 @@ def main():
               flush=True)
 
     # -- 3. raw fetch bandwidth --------------------------------------------
+    # a FRESH device array per rep: jax caches the host copy on the array
+    # after the first device_get, so re-fetching the same object times a
+    # dict lookup (microseconds), not the tunnel (the bug behind an
+    # earlier fetch8_ms of 0.007 ms for 7.2 MB)
     n_samp = cfg.max_seq_len * cfg.hop_size
-    x = jnp.zeros((8, n_samp), jnp.int16)
-    x.block_until_ready()
+
+    @jax.jit
+    def fill8(i):
+        return jnp.full((8, n_samp), i, jnp.int16)
+
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
+        x = fill8(i)
+        x.block_until_ready()
         t0 = time.perf_counter()
         jax.device_get(x)
         ts.append(time.perf_counter() - t0)
@@ -124,16 +133,21 @@ def main():
     print(json.dumps({k: out[k] for k in ("fetch8_ms", "fetch_mb",
                                           "fetch_mb_s")}), flush=True)
 
-    # -- 4. fetch concurrency ----------------------------------------------
-    a = jnp.zeros((4, n_samp), jnp.int16)
-    b = jnp.ones((4, n_samp), jnp.int16)
-    jax.block_until_ready((a, b))
+    # -- 4. fetch concurrency (fresh arrays per rep, same reason) ----------
+    @jax.jit
+    def fill4(i):
+        return jnp.full((4, n_samp), i, jnp.int16)
+
     ts_ser, ts_par = [], []
-    for _ in range(reps):
+    for i in range(reps):
+        a, b = fill4(2 * i), fill4(2 * i + 1)
+        jax.block_until_ready((a, b))
         t0 = time.perf_counter()
         jax.device_get(a)
         jax.device_get(b)
         ts_ser.append(time.perf_counter() - t0)
+        a, b = fill4(1000 + 2 * i), fill4(1000 + 2 * i + 1)
+        jax.block_until_ready((a, b))
         th = threading.Thread(target=jax.device_get, args=(a,))
         t0 = time.perf_counter()
         th.start()
