@@ -171,6 +171,63 @@ def test_dispatch_and_fetch_pipeline(engine):
         b.stop()
 
 
+class _GatedEngine:
+    """_SlowEngine that also SIGNALS when the dispatcher enters the slow
+    dispatch, so tests can deterministically enqueue while it is busy."""
+
+    def __init__(self, engine, delay_s):
+        self._engine = engine
+        self._delay_s = delay_s
+        self.entered = threading.Event()
+
+    @property
+    def batch_ladder(self):
+        return self._engine.batch_ladder
+
+    def synthesize_async(self, *a, **kw):
+        self.entered.set()
+        time.sleep(self._delay_s)
+        return self._engine.synthesize_async(*a, **kw)
+
+
+def test_timeout_dequeue_mid_window_keeps_dispatcher_alive(engine):
+    """A request that hits its timeout and self-dequeues while the
+    dispatcher is inside the fill window leaves _take_batch returning an
+    EMPTY batch with stop unset; the dispatcher must treat that as
+    spurious and keep serving (review r4: the old loop read any empty
+    batch as shutdown and exited, silently hanging every later request)."""
+    gated = _GatedEngine(engine, 0.5)
+    b = DynamicBatcher(gated, window_ms=4000.0, request_timeout_s=1.5)
+    try:
+        rng = np.random.default_rng(6)
+        uA, uB, uC = _utt(rng), _utt(rng), _utt(rng)
+        res_a = {}
+
+        def first():
+            res_a["r"] = b.synthesize(*uA)
+
+        t = threading.Thread(target=first)
+        t.start()
+        # dispatcher is now held inside A's slow dispatch
+        assert gated.entered.wait(timeout=60)
+        # B enqueues while the engine is busy -> the dispatcher re-enters
+        # _take_batch with was_idle=False and windows for 4 s; B's 1.5 s
+        # timeout expires mid-window and it dequeues itself
+        with pytest.raises(TimeoutError):
+            b.synthesize(*uB)
+        t.join(timeout=120)
+        assert "r" in res_a      # A itself completed normally
+        # let the (now-empty) window expire: the old bug exits _loop here
+        time.sleep(4.2)
+        assert b._thread.is_alive(), "dispatcher died on the empty batch"
+        wav, mel_len = b.synthesize(*uC)          # must still serve
+        ref_wavs, ref_len = engine.synthesize(*uC)
+        assert mel_len == int(ref_len[0])
+        np.testing.assert_allclose(wav, ref_wavs[0], atol=1e-6)
+    finally:
+        b.stop()
+
+
 def test_batcher_propagates_failures(engine):
     """A dispatch failure must reach every waiter as a raised exception,
     not a hang."""

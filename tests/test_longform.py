@@ -89,6 +89,24 @@ def test_synthesize_long_matches_per_window(engine):
     np.testing.assert_allclose(wav, ref, atol=1e-6)
 
 
+def test_synthesize_long_window_cap(engine):
+    """max_windows bounds the device work one call can mint (review r4:
+    each split window is a full utterance of dispatches, so a server
+    exposing this path must cap it like /batch).  Over-cap splits raise
+    ValueError BEFORE any device work; at-cap splits pass through."""
+    cap = CFG.max_n_phonemes
+    n = cap * 3 + 1                                    # 4 hard-cap windows
+    rng = np.random.default_rng(9)
+    ph = rng.integers(1, CFG.num_phonemes, size=n)
+    pu = np.zeros(n, np.int64)                         # no puncts: 4 windows
+    style = rng.normal(scale=0.05,
+                       size=(1, CFG.d_model)).astype(np.float32)
+    with pytest.raises(ValueError, match="windows"):
+        synthesize_long(engine, ph, pu, style, max_windows=3)
+    wav, mel_len = synthesize_long(engine, ph, pu, style, max_windows=4)
+    assert len(mel_len) == 4 and wav.size > 0
+
+
 def test_server_split_mode():
     """?split=1 accepts an over-long utterance (plain /synthesize rejects
     it with 400) and returns the concatenated WAV."""

@@ -163,6 +163,45 @@ def test_engine_packed_compile_keys_bounded(rng):
             f"({n_backs[b]} -> {e._back_fn(b)._cache_size()})")
 
 
+def test_engine_packed_dispatches_all_groups_before_fetch(rng):
+    """synthesize_packed enqueues EVERY vocoder group before paying the
+    first host fetch (review r4): fetching inside the dispatch loop would
+    serialize k groups into k tunnel round trips with zero
+    compute/transfer overlap.  Pin the ordering via instrumented
+    _back_fn/_host_wav, and that results are unchanged."""
+    params = init_params(CFG, seed=0)
+    e = TTSEngine(params, CFG, mel_buckets=(16, 32), batch_ladder=(1, 2))
+    src, pun, style = _inputs(rng, B=3)
+    nph = np.array([2, 3, CFG.max_n_phonemes], np.int32)  # >= two buckets
+    ref_wavs, ref_len = e.synthesize(src, pun, style, num_phonemes=nph,
+                                     single_rtt=False)
+    assert len(e.group_by_bucket(ref_len)) >= 2
+
+    events = []
+    orig_back, orig_host = e._back_fn, e._host_wav
+
+    def back(bucket, pcm16=False):
+        fn = orig_back(bucket, pcm16)
+
+        def wrapped(*a, **k):
+            events.append("dispatch")
+            return fn(*a, **k)
+        return wrapped
+
+    def host(wav_h, pcm16):
+        events.append("fetch")
+        return orig_host(wav_h, pcm16)
+
+    e._back_fn, e._host_wav = back, host
+    wavs, mel_len = e.synthesize_packed(src, pun, style, num_phonemes=nph)
+    n = events.count("dispatch")
+    assert n >= 2 and events == ["dispatch"] * n + ["fetch"] * n, events
+
+    np.testing.assert_array_equal(mel_len, ref_len)
+    for w, r in zip(wavs, ref_wavs):
+        np.testing.assert_allclose(w, r, atol=1e-6)
+
+
 def test_engine_front_compile_keys_bounded(rng):
     """The FRONT program's compile keys are ladder-bounded too (VERDICT r3
     weak #2): after warmup(batch=ladder top), an arbitrary mix of request

@@ -205,6 +205,74 @@ def test_request_caps(server):
         utterance_from_dict(utt, TINY_CONFIG)
 
 
+def test_split_window_cap(server):
+    """?split=1 windows are device work exactly like /batch utterances:
+    an utterance splitting into more than max_batch windows gets 400 on
+    BOTH /synthesize and /stream (review r4), before any dispatch —
+    otherwise one request could mint minutes of serialized device work
+    inside a single admission slot."""
+    cap = TINY_CONFIG.max_n_phonemes
+    n = cap * 4 + 1                     # ceil(n/cap) = 5 > max_batch = 4
+    rng = np.random.default_rng(21)
+    utt = {
+        "phonemes": rng.integers(1, TINY_CONFIG.num_phonemes + 1,
+                                 size=n).tolist(),
+        "puncts": [0] * n,              # no punctuation: hard-cap windows
+        "style": (rng.normal(scale=0.05, size=TINY_CONFIG.d_model)
+                  .astype(np.float32).tolist()),
+    }
+    body = json.dumps(utt).encode()
+    for path in ("/synthesize?split=1", "/stream?split=1"):
+        c = _conn(server)
+        c.request("POST", path, body, {"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 400, path
+        assert "windows" in json.loads(r.read())["error"]
+
+
+def test_shutdown_before_serve_returns():
+    """shutdown() on a constructed-but-never-started server must return
+    (BaseServer.shutdown waits on an event only serve_forever sets —
+    review r4) and release the port for re-binding."""
+    import socket
+    import threading
+
+    s = TTSServer(init_params(TINY_CONFIG, seed=0), TINY_CONFIG,
+                  port=0, warmup=False)
+    host, port = s.address
+    t = threading.Thread(target=s.shutdown, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "shutdown() blocked on a never-served server"
+    sock = socket.socket()
+    sock.bind((host, port))             # port released deterministically
+    sock.close()
+
+
+def test_port_conflict_surfaces_before_device_work(monkeypatch):
+    """The listening socket binds FIRST (review r4): a port conflict must
+    raise at once, not after the minutes-long tunnel warmup — so no
+    engine is ever constructed when the bind fails."""
+    import socket
+    from zerovox_tpu.runtime import engine as engine_mod
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    sock.listen(1)
+    port = sock.getsockname()[1]
+
+    def boom(*a, **kw):
+        raise AssertionError("engine constructed before the bind failed")
+
+    monkeypatch.setattr(engine_mod, "TTSEngine", boom)
+    try:
+        with pytest.raises(OSError):
+            TTSServer(init_params(TINY_CONFIG, seed=0), TINY_CONFIG,
+                      host="127.0.0.1", port=port, warmup=True)
+    finally:
+        sock.close()
+
+
 def test_reload_disabled_by_default(server):
     c = _conn(server)
     c.request("POST", "/reload", json.dumps({"model": "/x.gguf"}).encode(),

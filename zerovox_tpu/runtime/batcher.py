@@ -153,6 +153,16 @@ class DynamicBatcher:
         while True:
             batch = self._take_batch()
             if not batch:
+                # An empty batch is NOT always shutdown: the windowing
+                # cond.wait releases the lock, so a request that hits its
+                # client-side timeout can dequeue itself mid-window and
+                # leave nothing matching the captured key.  Only exit when
+                # stop was requested and the queue is drained; otherwise go
+                # back to waiting.
+                with self._cond:
+                    drained = self._stop and not self._queue
+                if not drained:
+                    continue
                 # stopped and drained; wait for in-flight completions
                 self._pool.shutdown(wait=True)
                 return

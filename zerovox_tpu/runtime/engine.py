@@ -332,7 +332,6 @@ class TTSEngine:
 
         mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
-        B = mel.shape[0]
         # trim=False promises the reference's FULL padded buffer (whose tail
         # is bias-propagated, not zero), so it must vocode at the max
         # bucket on every path — otherwise this branch would return a
@@ -422,6 +421,12 @@ class TTSEngine:
         ladder-top chunks first when larger — keeping the vocoder
         compile-key set bounded at len(mel_buckets) x len(batch_ladder),
         all of which warmup() pre-compiles.
+
+        All group dispatches are enqueued BEFORE the first wav fetch: each
+        jnp.take depends only on the already-resident mel, so fetching
+        inside the dispatch loop would serialize k groups into k tunnel
+        round trips with zero compute/transfer overlap (the same pattern
+        warmup() and synthesize_async avoid — docs/ARCHITECTURE §13).
         """
         mel, mel_len_h = self._run_front(
             src_seq, puncts, style_embed, num_phonemes)
@@ -430,17 +435,20 @@ class TTSEngine:
         wavs: List[Optional[np.ndarray]] = [None] * B
         groups = (self.group_by_bucket(mel_len_h) if trim
                   else {self.mel_buckets[-1]: list(range(B))})
+        pending = []                     # dispatch every group first...
         for bucket, idxs in groups.items():
             for padded, n in self._ladder_chunks(idxs):
                 mel_g = jnp.take(mel, jnp.asarray(padded, jnp.int32), axis=0)
                 wav = self._back_fn(bucket, pcm16)(
                     self.params, self._data_sharded(mel_g[:, :bucket]))
-                wav_h = self._host_wav(jax.device_get(wav), pcm16)
-                for k, i in enumerate(padded[:n]):
-                    w = wav_h[k]
-                    if trim:
-                        w = w[: int(mel_len_h[i]) * cfg.hop_size]
-                    wavs[i] = w
+                pending.append((wav, padded, n))
+        for wav, padded, n in pending:   # ...then pay the fetch RTTs
+            wav_h = self._host_wav(jax.device_get(wav), pcm16)
+            for k, i in enumerate(padded[:n]):
+                w = wav_h[k]
+                if trim:
+                    w = w[: int(mel_len_h[i]) * cfg.hop_size]
+                wavs[i] = w
         return wavs, mel_len_h
 
     # ---------------------------------------------------------------- helpers

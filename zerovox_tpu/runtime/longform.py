@@ -77,16 +77,27 @@ def split_utterance(phonemes: Sequence[int], puncts: Sequence[int],
 
 
 def synthesize_long(engine, phonemes, puncts, style_embed,
-                    pcm16: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                    pcm16: bool = False,
+                    max_windows: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesize an utterance of ANY length through `engine`.
 
     Splits at punctuation boundaries (split_utterance), runs all windows
     as one bucket-packed batch with the single style embedding broadcast
     to every window, and concatenates the trimmed waveforms in order.
     Returns (waveform, per-window mel_len).
+
+    max_windows > 0 rejects utterances that split into more windows
+    (ValueError): each window is a full utterance of device work, so a
+    server exposing this path must bound it like a /batch request — an
+    unbounded split would let one request mint minutes of serialized
+    dispatches (the device-work analogue of the body-size cap).
     """
     cap = engine.cfg.max_n_phonemes
     src, pun, lens = split_utterance(phonemes, puncts, cap)
+    if max_windows and src.shape[0] > max_windows:
+        raise ValueError(
+            f"utterance splits into {src.shape[0]} windows, exceeding the "
+            f"cap of {max_windows}; send it in several requests")
     style = np.asarray(style_embed, np.float32).reshape(1, -1)
     style = np.repeat(style, src.shape[0], axis=0)
     wavs, mel_len = engine.synthesize_packed(src, pun, style, lens,

@@ -247,6 +247,14 @@ class TTSServer:
         # memory or mint unbounded device work on a production server
         self.max_body_bytes = int(max_body_bytes)
         self.max_batch = int(max_batch)
+        # Bind the listening socket BEFORE any device work: a port
+        # conflict must surface now, not after the minutes-long tunnel
+        # warmup — and a bound-but-not-yet-serving socket lets an
+        # orchestrator's TCP liveness probe distinguish "warming" from
+        # "dead".  The real handler class is attached at the end of
+        # __init__; nothing is accepted until serve_forever().
+        self._httpd = ThreadingHTTPServer((host, port), None)
+        self._serving = threading.Event()
         # /reload loads a checkpoint PATH from the request body — opt-in
         # only (CLI --allow-reload), for deployments where the daemon is
         # behind a trusted admin plane
@@ -263,45 +271,53 @@ class TTSServer:
         # the wider ladder.  Model axis > 1: tensor-parallel serving via
         # TPServingEngine (tp_engine.py) — channel-sharded front +
         # time-sharded vocoder, same ladder/warmup/PCM16/reload surface.
-        n_model = 1
-        if mesh is not None:
-            from ..parallel.mesh import MODEL_AXIS
-            n_model = mesh.shape.get(MODEL_AXIS, 1)
-        if n_model > 1:
-            from .tp_engine import TPServingEngine
-            self.engine = TPServingEngine(params, cfg, mesh,
-                                          precision=precision)
-        else:
-            self.engine = TTSEngine(params, cfg, mel_buckets=mel_buckets,
-                                    precision=precision, mesh=mesh)
-        # the engine may have cast params/cfg for bf16 serving; the
-        # streaming synthesizer must share that state (host_params: the
-        # stream's one-utterance chunk programs stay single-device)
-        self.stream = StreamingSynthesizer(
-            self.engine.host_params, self.engine.cfg,
-            chunk_frames=chunk_frames, overlap=overlap,
-            pcm16=True)   # chunks arrive device-quantised (half the bytes)
-        if warmup:
-            # /synthesize serves the device-quantised int16 variants: the
-            # PCM16 fetch halves the host-transfer bytes, which dominate
-            # one-shot latency (engine._back_fn docstring).  Warm at the
-            # ladder TOP so every front + vocoder program any /batch mix can
-            # hit is compiled before the first request (ADVICE r3: warming
-            # only batch=1 left the first multi-utterance request paying the
-            # multi-minute tunnel first-compile the ladder exists to avoid).
-            self.engine.warmup(batch=self.engine.batch_ladder[-1],
-                               pcm16=True)
-            self.stream.warmup()
+        try:
+            n_model = 1
+            if mesh is not None:
+                from ..parallel.mesh import MODEL_AXIS
+                n_model = mesh.shape.get(MODEL_AXIS, 1)
+            if n_model > 1:
+                from .tp_engine import TPServingEngine
+                self.engine = TPServingEngine(params, cfg, mesh,
+                                              precision=precision)
+            else:
+                self.engine = TTSEngine(params, cfg,
+                                        mel_buckets=mel_buckets,
+                                        precision=precision, mesh=mesh)
+            # the engine may have cast params/cfg for bf16 serving; the
+            # streaming synthesizer must share that state (host_params: the
+            # stream's one-utterance chunk programs stay single-device)
+            self.stream = StreamingSynthesizer(
+                self.engine.host_params, self.engine.cfg,
+                chunk_frames=chunk_frames, overlap=overlap,
+                pcm16=True)  # chunks arrive device-quantised (half bytes)
+            if warmup:
+                # /synthesize serves the device-quantised int16 variants:
+                # the PCM16 fetch halves the host-transfer bytes, which
+                # dominate one-shot latency (engine._back_fn docstring).
+                # Warm at the ladder TOP so every front + vocoder program
+                # any /batch mix can hit is compiled before the first
+                # request (ADVICE r3: warming only batch=1 left the first
+                # multi-utterance request paying the multi-minute tunnel
+                # first-compile the ladder exists to avoid).
+                self.engine.warmup(batch=self.engine.batch_ladder[-1],
+                                   pcm16=True)
+                self.stream.warmup()
 
-        # dynamic batching (off by default): concurrent /synthesize
-        # requests arriving within the window share one packed dispatch —
-        # linear batch scaling makes that ~Bx per-chip throughput under
-        # load (runtime/batcher.py)
-        self.batcher = None
-        if batch_window_ms > 0:
-            from .batcher import DynamicBatcher
-            self.batcher = DynamicBatcher(self.engine,
-                                          window_ms=batch_window_ms)
+            # dynamic batching (off by default): concurrent /synthesize
+            # requests arriving within the window share one packed
+            # dispatch — linear batch scaling makes that ~Bx per-chip
+            # throughput under load (runtime/batcher.py)
+            self.batcher = None
+            if batch_window_ms > 0:
+                from .batcher import DynamicBatcher
+                self.batcher = DynamicBatcher(self.engine,
+                                              window_ms=batch_window_ms)
+        except BaseException:
+            # construction/warmup failed: release the early-bound port
+            # deterministically (no dangling listener until GC)
+            self._httpd.server_close()
+            raise
 
         server = self
 
@@ -489,8 +505,13 @@ class TTSServer:
                         self._read_json(), server.engine.cfg)
                     if len(ph) == 0:
                         raise ValueError("empty phoneme sequence")
+                    # each split window is one utterance of device work:
+                    # bound it by the same cap as /batch, or one request
+                    # could mint minutes of dispatches inside its one
+                    # admission slot
                     wav, _ = synthesize_long(server.engine, ph, pu, style,
-                                             pcm16=True)
+                                             pcm16=True,
+                                             max_windows=server.max_batch)
                 else:
                     src, pun, style, n = self._read_utterance()
                     trim = q.get("trim", ["1"])[0] != "0"
@@ -591,6 +612,11 @@ class TTSServer:
                         raise ValueError("empty phoneme sequence")
                     srcs, puns, lens = split_utterance(
                         ph, pu, cfg.max_n_phonemes)
+                    if len(lens) > server.max_batch:   # same cap as /batch
+                        raise ValueError(
+                            f"utterance splits into {len(lens)} windows, "
+                            f"exceeding the cap of {server.max_batch}; "
+                            "send it in several requests")
                     windows = [(srcs[i:i + 1], puns[i:i + 1], style,
                                 lens[i:i + 1]) for i in range(len(lens))]
                 else:
@@ -625,7 +651,9 @@ class TTSServer:
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        # socket was bound (and the port claimed) at the top of __init__;
+        # attaching the handler class arms it for serve_forever()
+        self._httpd.RequestHandlerClass = Handler
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -633,16 +661,27 @@ class TTSServer:
         return self._httpd.server_address[:2]
 
     def serve_forever(self):
+        self._serving.set()
         self._httpd.serve_forever()
 
     def start(self):
+        # mark serving BEFORE the thread launches: a shutdown() racing the
+        # thread's entry into serve_forever() must wait for it (BaseServer
+        # handles the set-flag-first ordering), not skip the wait
+        self._serving.set()
         """Serve on a daemon thread (tests / embedding)."""
         self._thread = threading.Thread(target=self.serve_forever,
                                         daemon=True)
         self._thread.start()
 
     def shutdown(self):
-        self._httpd.shutdown()
+        # BaseServer.shutdown() waits on an event that only
+        # serve_forever() ever sets — calling it on a server that never
+        # started would block forever.  A constructed-but-never-served
+        # TTSServer (an embedder erroring out between __init__ and
+        # start()) just closes its socket.
+        if self._serving.is_set():
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self.batcher is not None:
             self.batcher.stop()

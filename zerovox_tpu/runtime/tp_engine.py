@@ -82,17 +82,27 @@ class TPServingEngine:
     def _call_fn(self, pcm16: bool):
         """(wav, mel_len) program; pcm16 appends device-side quantisation
         (same rationale as TTSEngine._back_fn: the host fetch of a fresh
-        full-length waveform is transfer-bound and int16 halves it)."""
+        full-length waveform is transfer-bound and int16 halves it).
+
+        The quantisation is JITTED as its own program (elementwise, so it
+        inherits the wav's data-axis sharding): running it eagerly costs
+        one tunnel round trip per op — more than the transfer saving the
+        int16 fetch buys (CLAUDE.md: always jit before the tunnel).  One
+        compile key per ladder size, covered by warmup().  The inner
+        sharded program is left untouched — re-jitting the composition
+        would discard make_sharded_synthesize's in_shardings."""
         with self._lock:
             if pcm16 not in self._call:
                 fn = self._fn
+                if pcm16:
+                    from ..io.wav import float_to_pcm16_device
+                    quant = jax.jit(float_to_pcm16_device)
 
                 def call(p, src, pun, style, n):
                     res = fn(p, src, pun, style, n)
                     wav = res.wav
                     if pcm16:
-                        from ..io.wav import float_to_pcm16_device
-                        wav = float_to_pcm16_device(wav)
+                        wav = quant(wav)
                     return wav, res.mel_len
 
                 self._call[pcm16] = call
