@@ -266,6 +266,23 @@ def test_time_parallel_vocoder_exact(rng):
     np.testing.assert_allclose(wav[:, :n], full[:, :n], atol=2e-5, rtol=1e-4)
 
 
+def test_time_parallel_vocoder_warmup_fetches(monkeypatch):
+    """warmup must FETCH every program output (dispatch-only warmups leave
+    the tunnel compile backlog for the first real request — CLAUDE.md)."""
+    from zerovox_tpu.parallel import seq as seq_mod
+    params = init_params(CFG, seed=0)
+    tpv = seq_mod.TimeParallelVocoder(params, CFG, devices=jax.devices()[:2],
+                                      chunk_frames=16, overlap=8)
+    fetched = []
+    real_get = jax.device_get
+    monkeypatch.setattr(seq_mod.jax, "device_get",
+                        lambda x: (fetched.append(x), real_get(x))[1])
+    tpv.warmup()
+    assert fetched, "warmup returned without fetching any outputs"
+    n_outs = sum(len(f) for f in fetched)
+    assert n_outs >= 2, f"expected one output per (device, program), got {n_outs}"
+
+
 def test_pod_mesh_layout():
     """make_pod_mesh: data spans hosts, every model group stays on one host
     row (ICI-only model collectives)."""

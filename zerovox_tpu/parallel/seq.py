@@ -41,14 +41,24 @@ class TimeParallelVocoder:
         self._params_on = [jax.device_put(voc, d) for d in self.devices]
 
     def warmup(self, batch: int = 1):
+        """Compile every chunk program on every participating device.
+
+        All dispatches go in flight first, then a single device_get
+        fetches every output: through the axon tunnel, compiles run
+        asynchronously and a dispatch-only warmup would return with the
+        backlog still compiling, which the first real vocode then eats
+        (the 300 s first-request stall — see TTSEngine.warmup)."""
         T = self.cfg.max_seq_len
         plan = self._s.chunk_plan(T, -(-T // self._s.chunk_frames))
         keys = sorted({(size, ef, efr) for _, size, ef, efr in plan})
+        outs = []
         for d_idx, dev in enumerate(self.devices):
             p = self._params_on[d_idx]
             for (size, ef, efr) in keys:
                 mk = jnp.zeros((batch, size, self.cfg.num_mels), jnp.float32)
-                self._s.program(size, ef, efr)(p, jax.device_put(mk, dev))
+                outs.append(self._s.program(size, ef, efr)(
+                    p, jax.device_put(mk, dev)))
+        jax.device_get(outs)
 
     def vocode(self, mel: jnp.ndarray, mel_len=None) -> np.ndarray:
         """mel (B, T, M) -> wav (B, n_chunks*chunk_frames*hop), exact vs the
