@@ -22,6 +22,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# --------------------------------------------------------------------------
+# Fast tier: `pytest -m quick` is the <5-min smoke subset (ops + gguf +
+# attention + stage parity at TINY + a server smoke); the full suite
+# (~50-55 min, no -m flag) is unchanged.  Marked here centrally so module
+# files stay marker-free.
+QUICK_MODULES = {
+    "test_ops", "test_gguf", "test_attention_mask", "test_stages",
+}
+QUICK_TESTS = {
+    "test_healthz", "test_synthesize_returns_wav", "test_batch_endpoint",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES or item.name.split("[", 1)[0] in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
