@@ -41,6 +41,73 @@ def measure_ttfa(cfg, params, src, pun, style, chunk_frames=64, overlap=16,
     return float(np.median(ts))
 
 
+def measure_daemon(cfg, reps=9):
+    """In-process TTSServer on a free port: socket-level /synthesize p50 +
+    /stream TTFA p50, so the driver artifact substantiates the daemon
+    headlines without reaching into .cache/ logs (VERDICT r4 #4).  The
+    full battery lives in scripts/bench_daemon.py; this is the p50 core."""
+    import http.client
+
+    from zerovox_tpu.params import init_params
+    from zerovox_tpu.runtime.server import TTSServer
+
+    params = init_params(cfg, seed=0)
+    # shift the duration bias (+1.5 => ~3.5 frames/phoneme) so streamed
+    # utterances have production-like length (random weights predict 0)
+    dp = dict(params["encoder"]["duration_predictor"])
+    dp["lin_b"] = dp["lin_b"] + 1.5
+    enc = dict(params["encoder"])
+    enc["duration_predictor"] = dp
+    params = dict(params, encoder=enc)
+
+    rng = np.random.default_rng(0)
+    body = json.dumps({
+        "phonemes": rng.integers(1, cfg.num_phonemes,
+                                 size=cfg.max_n_phonemes).tolist(),
+        "puncts": rng.integers(0, cfg.num_puncts,
+                               size=cfg.max_n_phonemes).tolist(),
+        "style": rng.normal(scale=0.1, size=cfg.d_model)
+                    .astype(np.float32).tolist(),
+    }).encode()
+    hdrs = {"Content-Type": "application/json"}
+
+    server = TTSServer(params, cfg, port=0,
+                       precision=cfg.compute_dtype, warmup=True)
+    server.start()
+    try:
+        host, port = server.address
+
+        def conn():
+            return http.client.HTTPConnection(host, port, timeout=300)
+
+        for path in ("/synthesize", "/stream"):   # untimed first-hit prime
+            c = conn()
+            c.request("POST", path, body, hdrs)
+            c.getresponse().read()
+
+        synth, ttfa = [], []
+        for _ in range(reps):
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/synthesize", body, hdrs)
+            r = c.getresponse()
+            r.read()
+            synth.append(time.perf_counter() - t0)
+            assert r.status == 200, r.status
+
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/stream", body, hdrs)
+            r = c.getresponse()
+            r.read(46)                    # WAV header + first audio bytes
+            ttfa.append(time.perf_counter() - t0)
+            r.read()
+            assert r.status == 200, r.status
+        return float(np.median(synth)), float(np.median(ttfa))
+    finally:
+        server.shutdown()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32", action="store_true", help="benchmark float32 parity path")
@@ -54,6 +121,10 @@ def main():
                          "cfg.vocoder_fuse_a_upsample) for A/B measurement")
     ap.add_argument("--no-ttfa", action="store_true",
                     help="skip the streaming time-to-first-audio measurement")
+    ap.add_argument("--no-b8", action="store_true",
+                    help="skip the B=8 throughput leg")
+    ap.add_argument("--no-daemon", action="store_true",
+                    help="skip the in-process daemon latency leg")
     args = ap.parse_args()
     if args.iters < 2:
         # the per-rep estimate divides by (iters - 1): the single-run wall
@@ -188,6 +259,40 @@ def main():
     print(f"bench: median wall {wall*1e3:.2f} ms for {audio:.2f} s audio "
           f"-> RTF {rtf:.5f} ({1.0/rtf:.1f}x realtime)", file=sys.stderr)
 
+    # B=8 throughput leg (the serving ladder's measured sweet spot): same
+    # K-chain differencing at batch 8, so the headline per-chip batched
+    # RTF is a driver artifact too (VERDICT r4 #4).  Only on the default
+    # invocation — A/B runs (--batch/--fuse-a/--f32) stay single-leg.
+    b8_wall = None
+    if args.batch == 1 and not args.no_b8 and not args.fuse_a:
+        B8 = 8
+        src8 = jnp.asarray(rng.integers(0, cfg.num_phonemes + 1,
+                                        size=(B8, cfg.max_n_phonemes)), jnp.int32)
+        pun8 = jnp.asarray(rng.integers(0, cfg.num_puncts + 1,
+                                        size=(B8, cfg.max_n_phonemes)), jnp.int32)
+        sty8 = jnp.asarray(rng.normal(scale=0.1, size=(B8, cfg.d_model)),
+                           jnp.float32)
+        t0 = time.perf_counter()
+        float(one(params, src8, pun8, sty8))
+        float(fn(params, src8, pun8, sty8))
+        print(f"bench: B=8 compile+first-run {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
+        t_single8 = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(one(params, src8, pun8, sty8))
+            t_single8.append(time.perf_counter() - t0)
+        single8 = float(np.median(t_single8))
+        est8 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(params, src8, pun8, sty8))
+            est8.append((time.perf_counter() - t0 - single8) / (K - 1))
+        b8_wall = float(np.median(est8))
+        print(f"bench: B=8 device wall/run {b8_wall*1e3:.2f} ms "
+              f"(+/- {(max(est8)-min(est8))/2*1e3:.2f}) -> "
+              f"RTF/chip {b8_wall/(cfg.audio_seconds*8):.6f}", file=sys.stderr)
+
     # p50 TTFA rides in the official JSON line so the <100 ms north star is a
     # driver artifact, not just a docs claim (VERDICT r1 next-step #10)
     ttfa = None
@@ -197,6 +302,20 @@ def main():
               f"(chunk 64 frames = 0.8 s audio, the CLI/daemon default; "
               f"target < 100 ms; includes one tunnel round-trip ~30 ms)",
               file=sys.stderr)
+
+    # daemon leg: socket-level serving latency from a warm in-process
+    # TTSServer (omitted, with a warning, rather than failing the whole
+    # bench if the daemon can't come up)
+    daemon = None
+    if args.batch == 1 and not args.no_daemon and not args.fuse_a:
+        try:
+            daemon = measure_daemon(cfg)
+            print(f"bench: daemon /synthesize p50 {daemon[0]*1e3:.1f} ms, "
+                  f"/stream TTFA p50 {daemon[1]*1e3:.1f} ms "
+                  f"(HTTP + tunnel RTT included)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — bench must still emit its line
+            print(f"bench: daemon leg failed ({type(e).__name__}: {e}); "
+                  "omitting daemon keys", file=sys.stderr)
 
     out = {
         "metric": "rtf_wall_per_audio_sec",
@@ -208,6 +327,12 @@ def main():
     }
     if ttfa is not None:
         out["ttfa_p50_ms"] = round(ttfa * 1e3, 1)
+    if b8_wall is not None:
+        out["b8_wall_ms"] = round(b8_wall * 1e3, 2)
+        out["b8_rtf_per_chip"] = round(b8_wall / (cfg.audio_seconds * 8), 6)
+    if daemon is not None:
+        out["daemon_p50_ms"] = round(daemon[0] * 1e3, 1)
+        out["stream_ttfa_p50_ms"] = round(daemon[1] * 1e3, 1)
     print(json.dumps(out))
 
 

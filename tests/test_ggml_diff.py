@@ -3,7 +3,7 @@
 Round 2 anchored parity to captured reference data plus a self-authored
 f16-staging simulation; these tests retire that last assumption (VERDICT r2
 missing #1) by executing the actual ggml CPU kernels — built once per repo
-from /root/reference/ggml into .cache/ — through tests/ggml_harness/harness.c
+from /root/reference/ggml into .cache/ — through zerovox_tpu/refharness/harness.c
 and asserting our ops match within documented tolerances
 (docs/ARCHITECTURE.md §10).
 
@@ -28,7 +28,7 @@ from zerovox_tpu.io import gguf
 from zerovox_tpu.ops import instance_norm, layer_norm, linear
 from zerovox_tpu.ops.conv import conv1d, conv_transpose1d, f16_staging
 
-from ggml_harness.build import get_harness
+from zerovox_tpu.refharness.build import get_harness
 
 LIB, _REASON = get_harness()
 

@@ -1,7 +1,7 @@
 """Stage-level differential tests against the REFERENCE'S OWN C++ model
 classes.
 
-tests/ggml_harness/stage_harness.cpp compiles the reference's FS2Encoder
+zerovox_tpu/refharness/stage_harness.cpp compiles the reference's FS2Encoder
 (/root/reference/src/fs2encoder.cpp:477-656), StyleTTSDecoder
 (/root/reference/src/stylettsdec.cpp:306-470) and HiFiGAN
 (/root/reference/src/hifigan.cpp:187-377) UNMODIFIED against the vendored
@@ -21,7 +21,7 @@ a rounding boundary; the fixtures assert a safety margin so seed drift is
 reported as such instead of as a spurious mismatch.
 
 The reference classes run in a dedicated WORKER SUBPROCESS
-(ggml_harness/stage_proc.py): they assume a fresh process — the zero-stuff
+(zerovox_tpu/refharness/stage_proc.py): they assume a fresh process — the zero-stuff
 ConvTranspose gaps are never memset (hifigan.cpp:50-55) and graph metadata
 lives in function-local statics — and sharing a long-lived pytest heap with
 jax/orbax/torch broke those assumptions nondeterministically (NaN wav
@@ -41,8 +41,8 @@ from zerovox_tpu.ops.length_regulator import (durations_from_log,
                                               length_regulate)
 from zerovox_tpu.params import load_params
 
-from ggml_harness.build import get_stage_harness
-from ggml_harness.stage_proc import RefStages
+from zerovox_tpu.refharness.build import get_stage_harness
+from zerovox_tpu.refharness.stage_proc import RefStages
 from oracles.synthetic import build_synthetic_gguf
 
 LIB, SKIP_REASON = get_stage_harness()

@@ -49,7 +49,7 @@ from zerovox_tpu.ops.length_regulator import (durations_from_log,
 from zerovox_tpu.params import load_params
 from zerovox_tpu.utils.debug import capture_run
 
-from ggml_harness.build import get_stage_harness
+from zerovox_tpu.refharness.build import get_stage_harness
 from oracles.synthetic import build_synthetic_gguf
 from test_ggml_stage_diff import RefStages, _assert_duration_margin, _inputs
 

@@ -98,7 +98,27 @@ def main(argv=None):
                     help="with --serve: enable POST /reload — hot-swap "
                          "weights from a new same-geometry GGUF without "
                          "restarting (admin-plane deployments only)")
+    ap.add_argument("--verify", action="store_true",
+                    help="compile the reference C++ stage classes and diff "
+                         "all three eval() boundaries on this GGUF "
+                         "(exit 0 = parity, 1 = mismatch, 2 = reference "
+                         "tree/toolchain unavailable; set ZEROVOX_REF to "
+                         "point at the reference checkout)")
+    ap.add_argument("--verify-seed", type=int, default=7,
+                    help="with --verify: RNG seed for the probe utterance")
     args = ap.parse_args(argv)
+
+    if args.verify:
+        # parity runs on CPU: the reference side is CPU-only and our side
+        # must use the f32 parity path (the TPU tunnel adds nothing here)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from zerovox_tpu.utils.verify import verify_checkpoint
+        report = verify_checkpoint(args.model, seed=args.verify_seed)
+        print(report.summary())
+        if report.skipped_reason:
+            return 2
+        return 0 if report.ok else 1
 
     if args.compile_cache:
         from zerovox_tpu.utils.compile_cache import enable_compile_cache

@@ -23,10 +23,11 @@ time) and is not the bottleneck; it runs in the prefix step.
 
 from __future__ import annotations
 
+import itertools
 import threading
 from collections import deque
 from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

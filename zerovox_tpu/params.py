@@ -260,7 +260,14 @@ def save_params(path: str, params: dict, cfg: ZeroVoxConfig,
 
     quantize="q8_0" stores large matrix/conv weights as 8-bit blocks (~3.6x
     smaller file); embeddings, biases and norm vectors stay f32.  The loader
-    dequantizes transparently.
+    dequantizes transparently (q8_0 files are ours-only: the reference
+    binary needs f16 conv kernels).
+
+    Conv kernels (the 3-d tensors) are stored f16, matching the reference
+    exporter's selective casts (utils/zv2gguf.py:156-161,:176-178): ggml's
+    conv path hard-asserts F16 kernels (im2col, ggml-cpu.c), so an
+    all-f32 file loads into the reference binary but crashes its first
+    graph compute — caught by `cli --verify` on a save_params round-trip.
     """
     from .io.gguf import GGUFWriter, GGMLType
     w = GGUFWriter(arch=cfg.GGUF_ARCH)
@@ -273,6 +280,8 @@ def save_params(path: str, params: dict, cfg: ZeroVoxConfig,
                        and name != "sinusoid_encoding_table")
         if quantize == "q8_0" and quantizable:
             w.add_tensor(name, arr, ggml_type=GGMLType.Q8_0)
+        elif arr.ndim == 3:              # conv kernel -> f16 (reference cast)
+            w.add_tensor(name, arr.astype(np.float16))
         else:
             w.add_tensor(name, arr)
     w.write(path)

@@ -1,13 +1,15 @@
 """Build-and-load machinery for the ggml differential harness.
 
-Builds the VENDORED ggml runtime (/root/reference/ggml, CPU backend only)
-into a per-repo cache once, compiles tests/ggml_harness/harness.c against
-it, and exposes the result as a ctypes library.  Everything is best-effort:
+Builds the VENDORED ggml runtime (<reference>/ggml, CPU backend only)
+into a per-repo cache once, compiles refharness/harness.c against it,
+and exposes the result as a ctypes library.  Everything is best-effort:
 callers get (None, reason) when the toolchain or the reference tree is
-unavailable, and the differential tests skip.
+unavailable; the differential tests skip and `cli --verify` reports why.
 
-The reference tree is read-only and ships without ggml.pc.in / tests /
-examples; a symlink shadow tree supplies the missing stubs.
+The reference tree root defaults to /root/reference and can be pointed
+elsewhere with the ZEROVOX_REF environment variable (it is read-only and
+ships without ggml.pc.in / tests / examples; a symlink shadow tree
+supplies the missing stubs).
 """
 
 from __future__ import annotations
@@ -19,8 +21,9 @@ import subprocess
 from pathlib import Path
 from typing import Optional, Tuple
 
-REF_GGML = Path("/root/reference/ggml")
-REF_SRC = Path("/root/reference/src")
+_REF_ROOT = Path(os.environ.get("ZEROVOX_REF", "/root/reference"))
+REF_GGML = _REF_ROOT / "ggml"
+REF_SRC = _REF_ROOT / "src"
 CACHE = Path(__file__).resolve().parents[2] / ".cache"
 SRC_SHADOW = CACHE / "ggml-src"
 BUILD = CACHE / "ggml-build"

@@ -124,9 +124,16 @@ def _recv(f):
 
 
 def _worker_main():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))          # tests/ on the path
-    from ggml_harness.build import get_stage_harness
+    # load build.py by file path: importing it through the zerovox_tpu
+    # package would execute the package __init__ (jax and friends), and
+    # this worker's whole purpose is a pristine heap (module docstring)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_zv_refharness_build",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "build.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    get_stage_harness = mod.get_stage_harness
 
     fin = sys.stdin.buffer
     # the reference printf's its dbg tensor to C-level stdout on every

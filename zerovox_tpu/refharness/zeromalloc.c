@@ -11,7 +11,7 @@
  * an existing free-list chunk return dirty bytes regardless.
  *
  * Preloading this shim into the dedicated stage-worker process
- * (tests/ggml_harness/stage_proc.py) makes the fresh-pages assumption
+ * (zerovox_tpu/refharness/stage_proc.py) makes the fresh-pages assumption
  * literally true for every allocation, deterministically, without
  * modifying the reference sources.  Only the worker pays the memset cost.
  */
