@@ -103,6 +103,61 @@ def test_warmup_covers_mesh_ladder(dp_engine):
         assert dp_engine._back_fn(b)._cache_size() == n_before[b]
 
 
+def test_server_on_mesh_streams_round_robin(params):
+    """Concurrent /stream sessions under --mesh d,1 spread over the data
+    axis (previously all convoyed on device 0) with bit-identical audio."""
+    from zerovox_tpu.runtime.server import TTSServer
+    import threading
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    s = TTSServer(params, CFG, port=0, warmup=True,
+                  chunk_frames=16, overlap=8, mesh=mesh)
+    s.start()
+    try:
+        host, port = s.address
+        assert s.stream.devices == list(mesh.devices.flat)
+        rng = np.random.default_rng(3)
+        utt = {
+            "phonemes": rng.integers(1, CFG.num_phonemes,
+                                     size=CFG.max_n_phonemes).tolist(),
+            "puncts": rng.integers(0, CFG.num_puncts,
+                                   size=CFG.max_n_phonemes).tolist(),
+            "style": rng.normal(scale=0.05, size=CFG.d_model)
+                        .astype(np.float32).tolist(),
+        }
+        body = json.dumps(utt).encode()
+        results = [None] * 2
+        barrier = threading.Barrier(2)
+
+        def worker(i):
+            barrier.wait()
+            c = http.client.HTTPConnection(host, port, timeout=240)
+            c.request("POST", "/stream", body,
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            results[i] = (r.status, r.read())
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        pcms = []
+        for status, raw in results:
+            assert status == 200
+            pcms.append(np.frombuffer(raw[44:], dtype=np.int16))
+        # same utterance through either device: bit-identical audio
+        np.testing.assert_array_equal(pcms[0], pcms[1])
+        # per-device dispatch actually happened: warmup + both sessions
+        # replicated weights onto both mesh devices
+        for d in mesh.devices.flat:
+            leaf = jax.tree.leaves(s.stream.params_for(d))[0]
+            assert leaf.devices() == {d}
+    finally:
+        s.shutdown()
+
+
 def test_server_on_mesh_with_batching(params):
     """Daemon over a mesh engine + dynamic batching: concurrent requests
     coalesce into sharded dispatches and the audio matches."""

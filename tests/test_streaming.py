@@ -96,6 +96,44 @@ def test_stream_dispatch_ahead_bit_identical(rng):
         StreamingSynthesizer(params, CFG, ahead=0)
 
 
+def test_stream_device_rotation_bit_identical(rng):
+    """devices=[...]: sessions round-robin across devices, each session's
+    dispatches land on its assigned device, and every session's output is
+    bit-identical to the single-device synthesizer (VERDICT r4 #5)."""
+    import jax
+    params = init_params(CFG, seed=0)
+    src = rng.integers(0, CFG.num_phonemes + 1, size=(1, CFG.max_n_phonemes))
+    pun = rng.integers(0, CFG.num_puncts + 1, size=(1, CFG.max_n_phonemes))
+    style = rng.normal(scale=0.1, size=(1, CFG.d_model)).astype(np.float32)
+
+    ref = list(StreamingSynthesizer(params, CFG, chunk_frames=16,
+                                    overlap=8).stream(src, pun, style))
+
+    devs = jax.devices()[:4]
+    s = StreamingSynthesizer(params, CFG, chunk_frames=16, overlap=8,
+                             devices=devs)
+    # rotation: 5 sessions wrap around the 4 devices
+    assigned = [s.session_device() for _ in range(5)]
+    assert assigned == devs + [devs[0]]
+    # per-device dispatch: the session's params replica lives on its device
+    for d in devs:
+        leaf = jax.tree.leaves(s.params_for(d))[0]
+        assert leaf.devices() == {d}
+
+    for i in range(4):
+        got = list(s.stream(src, pun, style, device=devs[i]))
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+    # hot-swap drops replicas; next session re-replicates transparently
+    s.set_params(params)
+    assert not s._dev_params
+    got = list(s.stream(src, pun, style))
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_nondividing_chunk_default_geometry(rng):
     """VERDICT r1 weak #2: the production default (--chunk-frames 64 with
     max_seq_len=1500) has max_seq_len % chunk != 0.  Same shape class here:
