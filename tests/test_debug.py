@@ -69,3 +69,33 @@ def test_dump_hlo(tmp_path):
     opt = dump_hlo(f, a, b, optimized=True, path=out)
     assert "fusion" in opt or "tanh" in opt
     assert open(out).read() == opt
+
+
+def test_dump_dot(tmp_path):
+    """dump_dot renders the jaxpr as Graphviz, like ggml_graph_dump_dot
+    (/root/reference/ggml/src/ggml.c:6124): valid digraph, one node per
+    primitive, dataflow edges, and it round-trips through a file."""
+    from zerovox_tpu.utils.debug import dump_dot
+    import jax.numpy as jnp
+
+    def f(a, b):
+        return jnp.tanh(a @ b) + a.sum()
+
+    a = jnp.ones((4, 8)); b = jnp.ones((8, 4))
+    out = str(tmp_path / "g.dot")
+    dot = dump_dot(f, a, b, path=out)
+    assert dot.startswith("digraph") and dot.rstrip().endswith("}")
+    assert "tanh" in dot and "dot_general" in dot and "->" in dot
+    assert "in0" in dot and "out0" in dot
+    assert open(out).read() == dot
+    # the full production pipeline renders without error and bounded
+    from zerovox_tpu.config import TINY_CONFIG
+    from zerovox_tpu.models.pipeline import synthesize
+    from zerovox_tpu.params import init_params
+    cfg = TINY_CONFIG
+    params = init_params(cfg, seed=0)
+    src = jnp.zeros((1, cfg.max_n_phonemes), jnp.int32)
+    sty = jnp.zeros((1, cfg.d_model), jnp.float32)
+    big = dump_dot(lambda p, s, st: synthesize(p, cfg, s, s, st).wav,
+                   params, src, sty, max_nodes=200)
+    assert "truncated" in big or big.count(" -> ") > 50

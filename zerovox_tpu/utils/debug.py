@@ -70,6 +70,66 @@ def dump_hlo(fn: Callable, *args, optimized: bool = False,
     return text
 
 
+def dump_dot(fn: Callable, *args, path: str | None = None,
+             max_nodes: int = 4000) -> str:
+    """Rendered-graph equivalent of ggml_graph_dump_dot
+    (/root/reference/ggml/src/ggml.c:6124): the traced jaxpr of
+    fn(*args) as a Graphviz digraph — one node per equation (primitive +
+    output shape), edges along dataflow, inputs as boxes.  Feed the
+    returned text to `dot -Tsvg` exactly like the reference's output.
+
+    The jaxpr (not the HLO) is the right altitude for eyeballing model
+    structure: it maps 1:1 to the library calls that built the graph,
+    before XLA fusion renames everything (dump_hlo gives that view).
+    """
+    closed = jax.make_jaxpr(fn)(*args)
+    jaxpr = closed.jaxpr
+    lines = ["digraph jaxpr {", "  rankdir=TB;",
+             '  node [fontsize=10, fontname="monospace"];']
+    names: Dict[Any, str] = {}
+
+    def nm(v):
+        if v not in names:
+            names[v] = f"v{len(names)}"
+        return names[v]
+
+    def label(v):
+        av = getattr(v, "aval", None)
+        return (f"{getattr(av, 'dtype', '?')}{list(getattr(av, 'shape', []))}"
+                if av is not None else "?")
+
+    for i, v in enumerate(jaxpr.invars):
+        lines.append(f'  {nm(v)} [shape=box, style=filled, '
+                     f'fillcolor=lightblue, label="in{i}\\n{label(v)}"];')
+    n_emitted = 0
+    for eq in jaxpr.eqns:
+        if n_emitted >= max_nodes:
+            lines.append(f'  trunc [shape=plaintext, label="... truncated '
+                         f'at {max_nodes} nodes"];')
+            break
+        n_emitted += 1
+        out = eq.outvars[0]
+        lines.append(f'  {nm(out)} [label="{eq.primitive.name}\\n'
+                     f'{label(out)}"];')
+        for o in eq.outvars[1:]:
+            names[o] = nm(out)
+        for iv in eq.invars:
+            # Literals (inline constants) are unhashable non-nodes
+            if not hasattr(iv, "val") and iv in names:
+                lines.append(f"  {nm(iv)} -> {nm(out)};")
+    for i, v in enumerate(jaxpr.outvars):
+        if not hasattr(v, "val") and v in names:
+            lines.append(f'  out{i} [shape=box, style=filled, '
+                         f'fillcolor=lightyellow, label="out{i}"];')
+            lines.append(f"  {nm(v)} -> out{i};")
+    lines.append("}")
+    text = "\n".join(lines)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
 def summarize(name: str, x) -> str:
     """print_tensor-style one-line summary: shape, head values, sum."""
     a = np.asarray(x, dtype=np.float64).reshape(-1)
