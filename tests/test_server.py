@@ -624,3 +624,60 @@ def test_batch_endpoint(server):
     c.request("POST", "/batch", json.dumps({"utterances": []}).encode(),
               {"Content-Type": "application/json"})
     assert c.getresponse().status == 400
+
+
+def test_binary_request_body(server):
+    """application/octet-stream selects the raw-binary utterance parser:
+    same audio as the JSON schema, bad magic/size are clean 400s, and the
+    TTSClient binary=True path round-trips (VERDICT r4 #6)."""
+    from zerovox_tpu.runtime.server import utterance_to_binary
+    cfg = TINY_CONFIG
+    utt = _utt(cfg, seed=5)
+
+    c = _conn(server)
+    c.request("POST", "/synthesize", json.dumps(utt).encode(),
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    ref = r.read()
+    assert r.status == 200
+
+    raw = utterance_to_binary(utt["phonemes"], utt["style"], utt["puncts"])
+    c = _conn(server)
+    c.request("POST", "/synthesize", raw,
+              {"Content-Type": "application/octet-stream"})
+    r = c.getresponse()
+    got = r.read()
+    assert r.status == 200
+    assert got == ref                       # byte-identical WAV
+
+    # client helper, one-shot and streaming
+    from zerovox_tpu.runtime.client import TTSClient
+    host, port = server.address
+    cl = TTSClient(host, port)
+    wav_b, sr_b = cl.synthesize(utt["phonemes"], utt["style"],
+                                utt["puncts"], trim=True, binary=True)
+    wav_j, sr_j = cl.synthesize(utt["phonemes"], utt["style"],
+                                utt["puncts"], trim=True)
+    assert sr_b == sr_j
+    np.testing.assert_array_equal(wav_b, wav_j)
+    chunks = list(cl.stream(utt["phonemes"], utt["style"], utt["puncts"],
+                            binary=True))
+    np.testing.assert_array_equal(
+        np.concatenate(chunks) if chunks else np.zeros(0, np.int16),
+        np.concatenate(list(cl.stream(utt["phonemes"], utt["style"],
+                                      utt["puncts"]))) if chunks
+        else np.zeros(0, np.int16))
+    with pytest.raises(ValueError, match="binary"):
+        cl.synthesize(utt["phonemes"], utt["style"], split=True,
+                      binary=True)
+
+    # malformed binary bodies: clean 400s, never 500s
+    for bad in (b"XXXX" + raw[4:],          # bad magic
+                raw[:-4],                   # truncated style
+                raw + b"\x00\x00"):         # trailing garbage
+        c = _conn(server)
+        c.request("POST", "/synthesize", bad,
+                  {"Content-Type": "application/octet-stream"})
+        r = c.getresponse()
+        r.read()
+        assert r.status == 400, (r.status, bad[:8])

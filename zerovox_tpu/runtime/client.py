@@ -98,14 +98,17 @@ class TTSClient:
         return http.client.HTTPConnection(self.host, self.port,
                                           timeout=self.timeout)
 
-    def _request(self, method: str, path: str, body: Optional[dict] = None
-                 ) -> bytes:
-        payload = None if body is None else json.dumps(body).encode()
+    def _request(self, method: str, path: str, body: Optional[dict] = None,
+                 raw: Optional[bytes] = None) -> bytes:
+        if raw is not None:
+            payload, hdrs = raw, {"Content-Type": "application/octet-stream"}
+        else:
+            payload = None if body is None else json.dumps(body).encode()
+            hdrs = _JSON_HDRS if payload is not None else {}
         for attempt in range(self.retries_503 + 1):
             c = self._connect()
             try:
-                c.request(method, path, payload,
-                          _JSON_HDRS if payload is not None else {})
+                c.request(method, path, payload, hdrs)
                 r = c.getresponse()
                 data = r.read()
                 if r.status == 503 and attempt < self.retries_503:
@@ -142,18 +145,30 @@ class TTSClient:
 
     def synthesize(self, phonemes: Sequence[int], style: Sequence[float],
                    puncts: Optional[Sequence[int]] = None, *,
-                   trim: bool = True, split: bool = False
-                   ) -> Tuple[np.ndarray, int]:
+                   trim: bool = True, split: bool = False,
+                   binary: bool = False) -> Tuple[np.ndarray, int]:
         """POST /synthesize -> (int16 samples, sampling_rate).
 
         split=True engages the daemon's long-form mode: utterances of any
         length, punctuation-split server-side (implies trim).
+        binary=True sends the raw-binary utterance body
+        (application/octet-stream; server.utterance_to_binary layout)
+        instead of JSON — the latency fast path (not valid with split,
+        which needs the unbounded-length JSON schema).
         """
         path = "/synthesize?trim=%d" % int(trim)
         if split:
+            if binary:
+                raise ValueError("binary=True is incompatible with "
+                                 "split=True (long-form uses JSON)")
             path += "&split=1"
-        body = self._request("POST", path,
-                             _utterance_body(phonemes, style, puncts))
+        if binary:
+            from .server import utterance_to_binary
+            body = self._request("POST", path, raw=utterance_to_binary(
+                phonemes, style, puncts))
+        else:
+            body = self._request("POST", path,
+                                 _utterance_body(phonemes, style, puncts))
         return parse_wav_bytes(body)
 
     def batch(self, utterances: Sequence[dict], *, trim: bool = True
@@ -174,21 +189,31 @@ class TTSClient:
 
     def stream(self, phonemes: Sequence[int], style: Sequence[float],
                puncts: Optional[Sequence[int]] = None, *,
-               split: bool = False, read_size: int = 1 << 15
-               ) -> Iterator[np.ndarray]:
+               split: bool = False, read_size: int = 1 << 15,
+               binary: bool = False) -> Iterator[np.ndarray]:
         """POST /stream -> iterator of int16 PCM chunks as they arrive.
 
         http.client decodes the chunked framing; reading `read_size` bytes
         at a time returns data the moment the daemon flushes it, so the
         first yield lands at the engine's TTFA.  An odd trailing byte
         (PCM16 spans two reads) is carried into the next chunk.
+        binary=True sends the raw-binary utterance body (see synthesize).
         """
         path = "/stream" + ("?split=1" if split else "")
-        payload = json.dumps(_utterance_body(phonemes, style,
-                                             puncts)).encode()
+        if binary:
+            if split:
+                raise ValueError("binary=True is incompatible with "
+                                 "split=True (long-form uses JSON)")
+            from .server import utterance_to_binary
+            payload = utterance_to_binary(phonemes, style, puncts)
+            hdrs = {"Content-Type": "application/octet-stream"}
+        else:
+            payload = json.dumps(_utterance_body(phonemes, style,
+                                                 puncts)).encode()
+            hdrs = _JSON_HDRS
         for attempt in range(self.retries_503 + 1):
             c = self._connect()
-            c.request("POST", path, payload, _JSON_HDRS)
+            c.request("POST", path, payload, hdrs)
             r = c.getresponse()
             if r.status == 503 and attempt < self.retries_503:
                 r.read()

@@ -37,6 +37,12 @@ Endpoints (all JSON bodies use the CLI's utterance schema —
                         so no recompile/restart (opt-in: allow_reload /
                         --allow-reload; 403 otherwise, 409 on geometry
                         change)
+
+/synthesize and /stream also accept Content-Type:
+application/octet-stream with the raw-binary utterance body
+(utterance_to_binary: b"ZVB1" + uint32 n + int32 phonemes/puncts +
+float32 style) — the latency fast path, parsed with three zero-copy
+frombuffer views instead of a JSON decode of ~650 numbers.
 """
 
 from __future__ import annotations
@@ -168,6 +174,54 @@ def parse_utterance_arrays(d: dict, cfg: ZeroVoxConfig
         raise ValueError(f"style embedding has {style.shape[1]} dims, "
                          f"model wants {cfg.d_model}")
     return ph, pu, style
+
+
+BINARY_MAGIC = b"ZVB1"
+
+
+def utterance_to_binary(phonemes, style, puncts=None) -> bytes:
+    """Pack one utterance as the daemon's raw-binary request body:
+    b"ZVB1" + uint32 n + n int32 phonemes + n int32 puncts + d_model
+    float32 style, all little-endian.  The opt-in fast path for latency
+    clients: parsing it is three zero-copy np.frombuffer views instead of
+    a json.loads over ~650 Python numbers (VERDICT r4 #6)."""
+    ph = np.ascontiguousarray(phonemes, dtype="<i4").reshape(-1)
+    pu = (np.zeros_like(ph) if puncts is None
+          else np.ascontiguousarray(puncts, dtype="<i4").reshape(-1))
+    if pu.shape != ph.shape:
+        raise ValueError("phonemes/puncts must be equal length")
+    st = np.ascontiguousarray(style, dtype="<f4").reshape(-1)
+    return (BINARY_MAGIC + np.uint32(len(ph)).tobytes()
+            + ph.tobytes() + pu.tobytes() + st.tobytes())
+
+
+def utterance_from_binary(buf: bytes, cfg: ZeroVoxConfig
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                     np.ndarray]:
+    """Parse the raw-binary utterance body (see utterance_to_binary) into
+    padded (src, pun, style, n) — the binary twin of utterance_from_dict,
+    same validation semantics (ValueError -> HTTP 400)."""
+    P = cfg.max_n_phonemes
+    if len(buf) < 8 or buf[:4] != BINARY_MAGIC:
+        raise ValueError("binary utterance: bad magic (want b'ZVB1')")
+    n = int(np.frombuffer(buf, "<u4", 1, 4)[0])
+    if n > P:
+        raise ValueError(f"{n} phonemes exceeds the model's "
+                         f"max_n_phonemes={P}; split the utterance")
+    need = 8 + 8 * n + 4 * cfg.d_model
+    if len(buf) != need:
+        raise ValueError(f"binary utterance: body is {len(buf)} bytes, "
+                         f"expected {need} for n={n}, "
+                         f"d_model={cfg.d_model}")
+    ph = np.frombuffer(buf, "<i4", n, 8)
+    pu = np.frombuffer(buf, "<i4", n, 8 + 4 * n)
+    style = np.frombuffer(buf, "<f4", cfg.d_model,
+                          8 + 8 * n).reshape(1, -1).copy()
+    src = np.zeros((1, P), np.int32)
+    pun = np.zeros((1, P), np.int32)
+    src[0, :n] = ph
+    pun[0, :n] = pu
+    return src, pun, style, np.asarray([n], np.int32)
 
 
 def utterance_from_dict(d: dict, cfg: ZeroVoxConfig
@@ -355,7 +409,7 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _read_json(self):
+            def _read_body(self) -> bytes:
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     raise ValueError("empty request body")
@@ -363,9 +417,24 @@ class TTSServer:
                     raise RequestTooLarge(
                         f"request body {length} bytes exceeds the "
                         f"{server.max_body_bytes}-byte cap")
-                return json.loads(self.rfile.read(length))
+                return self.rfile.read(length)
+
+            def _read_json(self):
+                return json.loads(self._read_body())
+
+            def _is_binary(self) -> bool:
+                ctype = self.headers.get("Content-Type", "")
+                return ctype.split(";")[0].strip() == \
+                    "application/octet-stream"
 
             def _read_utterance(self):
+                # Content-Type: application/octet-stream selects the
+                # raw-binary utterance body (utterance_from_binary) —
+                # three zero-copy frombuffer views instead of a JSON
+                # parse of ~650 numbers; same validation, same 400s
+                if self._is_binary():
+                    return utterance_from_binary(self._read_body(),
+                                                 server.engine.cfg)
                 return utterance_from_dict(self._read_json(),
                                            server.engine.cfg)
 
