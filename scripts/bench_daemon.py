@@ -148,7 +148,16 @@ def main():
     prime("/synthesize")
     prime("/stream")
 
-    synth, stream_hdr, stream_ttfa, stream_full = [], [], [], []
+    # raw-binary request body A/B: same utterance, application/octet-stream
+    # (the daemon's zero-copy parse path) — isolates the JSON-decode share
+    # of /synthesize latency (VERDICT r4 #6)
+    from zerovox_tpu.runtime.server import utterance_to_binary
+    utt = _utterance(cfg)
+    bin_body = utterance_to_binary(utt["phonemes"], utt["style"],
+                                   utt["puncts"])
+    bin_hdrs = {"Content-Type": "application/octet-stream"}
+
+    synth, synth_bin, stream_hdr, stream_ttfa, stream_full = [], [], [], [], []
     stalled = 0
     for _ in range(args.reps):
         try:
@@ -158,6 +167,14 @@ def main():
             r = c.getresponse()
             r.read()
             synth.append(time.perf_counter() - t0)
+            assert r.status == 200
+
+            c = conn()
+            t0 = time.perf_counter()
+            c.request("POST", "/synthesize", bin_body, bin_hdrs)
+            r = c.getresponse()
+            r.read()
+            synth_bin.append(time.perf_counter() - t0)
             assert r.status == 200
 
             c = conn()
@@ -187,6 +204,7 @@ def main():
     out = {
         "synthesize_p50_ms": _p50(synth),
         "synthesize_min_ms": float(min(synth) * 1e3),
+        "synthesize_binary_p50_ms": _p50(synth_bin) if synth_bin else None,
         "stream_header_ttfb_p50_ms": _p50(stream_hdr),
         "stream_ttfa_p50_ms": _p50(stream_ttfa),
         "stream_ttfa_min_ms": float(min(stream_ttfa) * 1e3),
