@@ -38,6 +38,12 @@ def main(argv=None):
     write_wav(out, wav, sr)
     print(f"/synthesize -> {len(wav)} samples -> {out}")
 
+    # same request over the raw-binary body (application/octet-stream):
+    # the latency fast path — identical audio, no JSON decode server-side
+    wav_b, _ = c.synthesize(ph, st, pu, trim=False, binary=True)
+    assert (wav_b == wav).all()
+    print(f"/synthesize (binary body) -> identical {len(wav_b)} samples")
+
     # batch: one packed device dispatch for N utterances
     utts = []
     for s in (1, 2):
