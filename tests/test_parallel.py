@@ -249,6 +249,55 @@ def test_pipeline_placement_matches_single_device(rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_pipeline_bounded_staging_and_warmup(rng, monkeypatch):
+    """run_iter keeps at most max_in_flight utterances staged (ggml's
+    GGML_SCHED_MAX_COPIES role), preserves input order at any window, and
+    warmup() FETCHES its outputs (the dispatch-only-warmup stall)."""
+    from zerovox_tpu.parallel import pipeline as pipe_mod
+    params = init_params(CFG, seed=0)
+    src, pun, style = _batch_inputs(rng, B=1)
+    n = jnp.full((1,), CFG.max_n_phonemes, dtype=jnp.int32)
+    feed = [(src, pun, style, n)] * 5
+
+    pipe = pipe_mod.PipelinedTTS(params, CFG, max_in_flight=2)
+
+    fetched = []
+    real_get = jax.device_get
+    monkeypatch.setattr(pipe_mod.jax, "device_get",
+                        lambda x: (fetched.append(x), real_get(x))[1])
+    pipe.warmup()
+    assert fetched, "warmup returned without fetching"
+
+    in_flight = [0]
+    peak = [0]
+    real_dispatch = pipe._dispatch
+
+    def counting_dispatch(batch):
+        in_flight[0] += 1
+        peak[0] = max(peak[0], in_flight[0])
+        return real_dispatch(batch)
+
+    monkeypatch.setattr(pipe, "_dispatch", counting_dispatch)
+    fetched.clear()
+    monkeypatch.setattr(pipe_mod.jax, "device_get",
+                        lambda x: (in_flight.__setitem__(0, in_flight[0] - 1),
+                                   real_get(x))[1])
+    out2 = list(pipe.run_iter(feed))
+    assert len(out2) == 5
+    assert peak[0] <= 2, f"staged {peak[0]} > max_in_flight=2"
+
+    # window size must not change results or order
+    pipe1 = pipe_mod.PipelinedTTS(params, CFG, max_in_flight=1)
+    out1 = pipe1.run(feed[:2])
+    for (w1, l1), (w2, l2) in zip(out1, out2[:2]):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                   atol=2e-6, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="max_in_flight"):
+        pipe_mod.PipelinedTTS(params, CFG, max_in_flight=0)
+
+
 def test_time_parallel_vocoder_exact(rng):
     """Chunks fanned over 4 devices must reproduce the full vocoder run."""
     from zerovox_tpu.models import hifigan

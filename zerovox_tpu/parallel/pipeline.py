@@ -8,11 +8,24 @@ regulator + decoder, ~5% of FLOPs) on one chip and the vocoder (~95%) on
 another, with the mel hopping devices over ICI.  JAX's async dispatch
 overlaps the stages across consecutive utterances: chip A computes utterance
 N+1's mel while chip B vocodes utterance N.
+
+Production notes: in-flight staging is BOUNDED (`max_in_flight`,
+default 4 — the same role as ggml's GGML_SCHED_MAX_COPIES, reference top
+CMakeLists.txt:114): an unbounded run() over a long feed would pile every
+utterance's mel + wav into the two chips' HBM at once.  `run_iter` yields
+results as they complete so a serving loop can consume at steady state;
+`warmup()` compiles both stage programs and FETCHES their outputs (the
+dispatch-only-warmup stall, CLAUDE.md).  For this model the pure-DP mesh
+engine remains the better serving topology (the whole pipeline fits on
+one chip, so DP gets N chips' throughput with zero inter-chip traffic);
+the pipeline is the right shape when one stage's weights or activations
+outgrow a single device.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from collections import deque
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,13 +39,17 @@ class PipelinedTTS:
     """Two-stage device pipeline over a sequence of utterance batches."""
 
     def __init__(self, params, cfg: ZeroVoxConfig,
-                 front_device=None, back_device=None):
+                 front_device=None, back_device=None,
+                 max_in_flight: int = 4):
         devices = jax.devices()
         if len(devices) < 2 and (front_device is None or back_device is None):
             raise ValueError("pipeline placement needs >= 2 devices")
+        if max_in_flight < 1:
+            raise ValueError("max_in_flight must be >= 1")
         self.front_device = front_device or devices[0]
         self.back_device = back_device or devices[1]
         self.cfg = cfg
+        self.max_in_flight = max_in_flight
 
         # replicate weights per stage placement (front needs enc+dec, back voc)
         front_params = {"encoder": params["encoder"], "decoder": params["decoder"]}
@@ -63,26 +80,55 @@ class PipelinedTTS:
         self._front = front
         self._back = back
 
-    def run(self, batches: Iterable[Tuple]) -> List[Tuple[jax.Array, jax.Array]]:
-        """Process [(src, puncts, style, num_phonemes), ...].
+    def warmup(self, batch: int = 1):
+        """Compile both stage programs off the latency path; outputs are
+        FETCHED so the compile backlog drains before real work (a
+        dispatch-only warmup leaves it for the first request — the 300 s
+        first-request stall, CLAUDE.md / TTSEngine.warmup)."""
+        cfg = self.cfg
+        src = jax.device_put(jnp.zeros((batch, cfg.max_n_phonemes), jnp.int32),
+                             self.front_device)
+        style = jax.device_put(jnp.zeros((batch, cfg.d_model), jnp.float32),
+                               self.front_device)
+        n = jax.device_put(jnp.full((batch,), cfg.max_n_phonemes, jnp.int32),
+                           self.front_device)
+        mel, mel_len = self._front(self.front_params, src, src, style, n)
+        wav = self._back(self.back_params,
+                         jax.device_put(mel, self.back_device))
+        jax.device_get((mel_len, wav))
 
-        All front computations are dispatched eagerly (async) on the front
-        device; each mel is shipped to the back device for vocoding.  Returns
-        [(wav, mel_len), ...] in input order.
+    def _dispatch(self, batch: Tuple):
+        src, pun, style, n = batch
+        src = jax.device_put(jnp.asarray(src, jnp.int32), self.front_device)
+        pun = jax.device_put(jnp.asarray(pun, jnp.int32), self.front_device)
+        style = jax.device_put(jnp.asarray(style, jnp.float32),
+                               self.front_device)
+        n = jax.device_put(jnp.asarray(n, jnp.int32), self.front_device)
+        mel, mel_len = self._front(self.front_params, src, pun, style, n)
+        # mel hops front -> back over ICI; dispatch stays async
+        wav = self._back(self.back_params,
+                         jax.device_put(mel, self.back_device))
+        return wav, mel_len
+
+    def run_iter(self, batches: Iterable[Tuple]
+                 ) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """Stream (wav, mel_len) results in input order.
+
+        At most `max_in_flight` utterances are staged on the devices at
+        once: utterance k+max_in_flight is dispatched only after
+        utterance k's result is fetched, so chip A fronts ahead of chip
+        B's vocoding by a bounded window (steady-state overlap without
+        unbounded HBM growth on a long feed).
         """
-        staged = []
-        for (src, pun, style, n) in batches:
-            src = jax.device_put(jnp.asarray(src, jnp.int32), self.front_device)
-            pun = jax.device_put(jnp.asarray(pun, jnp.int32), self.front_device)
-            style = jax.device_put(jnp.asarray(style, jnp.float32),
-                                   self.front_device)
-            n = jax.device_put(jnp.asarray(n, jnp.int32), self.front_device)
-            mel, mel_len = self._front(self.front_params, src, pun, style, n)
-            # mel hops front -> back over ICI; dispatch stays async
-            staged.append((jax.device_put(mel, self.back_device), mel_len))
+        pending: deque = deque()
+        for batch in batches:
+            while len(pending) >= self.max_in_flight:
+                yield jax.device_get(pending.popleft())
+            pending.append(self._dispatch(batch))
+        while pending:
+            yield jax.device_get(pending.popleft())
 
-        out = []
-        for mel_b, mel_len in staged:
-            wav = self._back(self.back_params, mel_b)
-            out.append((wav, mel_len))
-        return out
+    def run(self, batches: Iterable[Tuple]) -> List[Tuple[jax.Array, jax.Array]]:
+        """Process [(src, puncts, style, num_phonemes), ...] -> list of
+        (wav, mel_len) in input order (run_iter collected)."""
+        return list(self.run_iter(batches))
