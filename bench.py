@@ -41,71 +41,30 @@ def measure_ttfa(cfg, params, src, pun, style, chunk_frames=64, overlap=16,
     return float(np.median(ts))
 
 
-def measure_daemon(cfg, reps=9):
-    """In-process TTSServer on a free port: socket-level /synthesize p50 +
-    /stream TTFA p50, so the driver artifact substantiates the daemon
-    headlines without reaching into .cache/ logs (VERDICT r4 #4).  The
-    full battery lives in scripts/bench_daemon.py; this is the p50 core."""
-    import http.client
+def measure_daemon(timeout_s=1500):
+    """Socket-level /synthesize p50 + /stream TTFA p50 from a live daemon,
+    so the driver artifact substantiates the daemon headlines without
+    reaching into .cache/ logs (VERDICT r4 #4).
 
-    from zerovox_tpu.params import init_params
-    from zerovox_tpu.runtime.server import TTSServer
-
-    params = init_params(cfg, seed=0)
-    # shift the duration bias (+1.5 => ~3.5 frames/phoneme) so streamed
-    # utterances have production-like length (random weights predict 0)
-    dp = dict(params["encoder"]["duration_predictor"])
-    dp["lin_b"] = dp["lin_b"] + 1.5
-    enc = dict(params["encoder"])
-    enc["duration_predictor"] = dp
-    params = dict(params, encoder=enc)
-
-    rng = np.random.default_rng(0)
-    body = json.dumps({
-        "phonemes": rng.integers(1, cfg.num_phonemes,
-                                 size=cfg.max_n_phonemes).tolist(),
-        "puncts": rng.integers(0, cfg.num_puncts,
-                               size=cfg.max_n_phonemes).tolist(),
-        "style": rng.normal(scale=0.1, size=cfg.d_model)
-                    .astype(np.float32).tolist(),
-    }).encode()
-    hdrs = {"Content-Type": "application/json"}
-
-    server = TTSServer(params, cfg, port=0,
-                       precision=cfg.compute_dtype, warmup=True)
-    server.start()
-    try:
-        host, port = server.address
-
-        def conn():
-            return http.client.HTTPConnection(host, port, timeout=300)
-
-        for path in ("/synthesize", "/stream"):   # untimed first-hit prime
-            c = conn()
-            c.request("POST", path, body, hdrs)
-            c.getresponse().read()
-
-        synth, ttfa = [], []
-        for _ in range(reps):
-            c = conn()
-            t0 = time.perf_counter()
-            c.request("POST", "/synthesize", body, hdrs)
-            r = c.getresponse()
-            r.read()
-            synth.append(time.perf_counter() - t0)
-            assert r.status == 200, r.status
-
-            c = conn()
-            t0 = time.perf_counter()
-            c.request("POST", "/stream", body, hdrs)
-            r = c.getresponse()
-            r.read(46)                    # WAV header + first audio bytes
-            ttfa.append(time.perf_counter() - t0)
-            r.read()
-            assert r.status == 200, r.status
-        return float(np.median(synth)), float(np.median(ttfa))
-    finally:
-        server.shutdown()
+    Runs scripts/bench_daemon.py in a SUBPROCESS with its own timeout:
+    the daemon warmup blocks inside device calls, so an in-process leg
+    caught in a tunnel stall would ride the whole bench past the driver's
+    timeout and lose the JSON line (observed r5: a 45-min mid-bench
+    outage killed the process during this leg, rc=124).  A subprocess
+    timeout bounds the damage to missing daemon keys."""
+    import os
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_daemon.py")
+    r = subprocess.run(
+        [sys.executable, script, "--reps", "9", "--no-batch"],
+        capture_output=True, text=True, timeout=timeout_s,
+        env=dict(os.environ))
+    if r.returncode != 0:
+        raise RuntimeError(f"bench_daemon rc={r.returncode}: "
+                           f"{r.stderr[-300:]}")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    return out["synthesize_p50_ms"] / 1e3, out["stream_ttfa_p50_ms"] / 1e3
 
 
 def main():
@@ -264,7 +223,7 @@ def main():
     # RTF is a driver artifact too (VERDICT r4 #4).  Only on the default
     # invocation — A/B runs (--batch/--fuse-a/--f32) stay single-leg.
     b8_wall = None
-    if args.batch == 1 and not args.no_b8 and not args.fuse_a:
+    if args.batch == 1 and not args.no_b8 and not args.fuse_a and not args.f32:
         B8 = 8
         src8 = jnp.asarray(rng.integers(0, cfg.num_phonemes + 1,
                                         size=(B8, cfg.max_n_phonemes)), jnp.int32)
@@ -307,9 +266,10 @@ def main():
     # TTSServer (omitted, with a warning, rather than failing the whole
     # bench if the daemon can't come up)
     daemon = None
-    if args.batch == 1 and not args.no_daemon and not args.fuse_a:
+    if args.batch == 1 and not args.no_daemon and not args.fuse_a \
+            and not args.f32:
         try:
-            daemon = measure_daemon(cfg)
+            daemon = measure_daemon()
             print(f"bench: daemon /synthesize p50 {daemon[0]*1e3:.1f} ms, "
                   f"/stream TTFA p50 {daemon[1]*1e3:.1f} ms "
                   f"(HTTP + tunnel RTT included)", file=sys.stderr)
