@@ -65,8 +65,11 @@ def test_num_phonemes_masks_durations(rng):
 
 
 def test_gguf_checkpoint_roundtrip(tmp_path, rng):
-    """save_params -> load_params must reproduce identical synthesis output
-    (the loader inverts every layout transform)."""
+    """save_params -> load_params: the loader inverts every layout
+    transform; conv kernels are stored f16 (the reference exporter's own
+    cast, required by ggml's conv path — see save_params), so fresh f32
+    weights round-trip within f16 quantisation and a SECOND round trip is
+    bit-exact (f16 fixpoint)."""
     params = init_params(CFG, seed=3)
     path = str(tmp_path / "ckpt.gguf")
     save_params(path, params, CFG)
@@ -78,7 +81,14 @@ def test_gguf_checkpoint_roundtrip(tmp_path, rng):
     src, pun, style = _inputs(rng, B=1)
     a = synthesize(params, CFG, src, pun, style)
     b = synthesize(params2, CFG, src, pun, style)
-    np.testing.assert_array_equal(np.asarray(a.wav), np.asarray(b.wav))
+    np.testing.assert_allclose(np.asarray(a.wav), np.asarray(b.wav),
+                               atol=2e-3, rtol=1e-3)
+
+    path2 = str(tmp_path / "ckpt2.gguf")
+    save_params(path2, params2, CFG)
+    _, params3 = load_params(path2)
+    c = synthesize(params3, CFG, src, pun, style)
+    np.testing.assert_array_equal(np.asarray(b.wav), np.asarray(c.wav))
 
 
 def test_arrays_roundtrip():

@@ -318,15 +318,18 @@ def test_reload_hot_swaps_weights(tmp_path):
 
         after = synth()
         assert not np.array_equal(after, before)
-        # must equal a fresh engine on the new weights (server default
-        # float32 + device pcm16)
+        # must equal a fresh engine on the new weights AS LOADED from the
+        # checkpoint (conv kernels are stored f16 — save_params docstring —
+        # so compare against the loaded tree, not the pre-save p1)
+        from zerovox_tpu.params import load_params
+        _, p1_loaded = load_params(new_path)
         utt = _utt(TINY_CONFIG, seed=20)
         src = np.zeros((1, TINY_CONFIG.max_n_phonemes), np.int32)
         pun = np.zeros_like(src)
         src[0] = utt["phonemes"]; pun[0] = utt["puncts"]
         sty = np.asarray(utt["style"], np.float32).reshape(1, -1)
         n = np.asarray([TINY_CONFIG.max_n_phonemes], np.int32)
-        wavs, _ = TTSEngine(p1, TINY_CONFIG).synthesize(
+        wavs, _ = TTSEngine(p1_loaded, TINY_CONFIG).synthesize(
             src, pun, sty, n, trim=False, pcm16=True)
         np.testing.assert_allclose(after, np.asarray(wavs[0]), atol=1)
 
