@@ -216,11 +216,13 @@ def test_conv1d_folded_matches_conv1d(rng, C, rho, dilation):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("B", [1, 2])   # B=1 widened dots, B>1 strided conv
 @pytest.mark.parametrize("rho_in,rho_out", [(1, 8), (2, 8), (4, 8)])
-def test_conv1d_folded_out_contract_matches_conv1d(rng, rho_in, rho_out):
-    """Contracted folded-output conv (the one-matmul tail) vs plain conv1d."""
+def test_conv1d_folded_out_contract_matches_conv1d(rng, rho_in, rho_out, B):
+    """Contracted folded-output conv (the tail) vs plain conv1d — both
+    batch-dispatched formulations (§11 ninth finding)."""
     from zerovox_tpu.ops.conv import conv1d_folded_out_contract, fold
-    B, L, Cin, K = 2, 64, 16, 7
+    L, Cin, K = 64, 16, 7
     pad = (K - 1) // 2
     x = rng.normal(size=(B, L, Cin)).astype(np.float32)
     w = rng.normal(size=(K, Cin, 1)).astype(np.float32)

@@ -653,18 +653,27 @@ def conv1d_folded_out_contract(xf: jnp.ndarray,
                                padding: int = 0,
                                rho_in: int = 1,
                                rho_out: int = 128) -> jnp.ndarray:
-    """conv1d_folded_out via ONE contracted matmul instead of n_delta strided
-    row gathers.
+    """Folded-output tail conv, batch-dispatched to its measured-best form.
 
-    The W_delta formulation of the rho_out=128 tail reads ~k/rho_in + rho_out
-    strided slices of the folded activation (xpad[:, d::stride]); each slice
-    touches every 32nd row, so HBM serves nearly the whole array per delta —
-    measured 0.81 ms for the production tail, ~20x its roofline.  Here the
-    input is first reshaped to rho_out-folded rows (free, row-major), then one
-    lane-concat of the exactly-touched windows (build_wcontract) feeds a
-    single dense (total, rho_out*Cout) matmul: one read of the activation,
-    one ~4k-wide dot.  Requires stride-1 same-length (2*padding == k-1),
-    rho_in | rho_out, and nblk_in % (rho_out/rho_in) == 0.
+    B > 1 — ONE strided native conv (§11 ninth finding): the contracted
+    layout of the rho_out-folded output is literally a 1-D conv over the
+    rho_in-folded rows with kernel span (rmax-rmin+1) rows and stride
+    rho_out/rho_in; the batched conv emitter consumes the (B, L, rc)
+    activation with NO widening relayout and handles the halo rows inside
+    the window.  Measured at the B=8 production tail: 0.27 ms vs 2.01 for
+    the widening reshape + 4k-wide dot (the reshape alone was 0.76 ms of
+    pure relayout — the largest non-kernel op left after r4).  A 4-D
+    split-axis einsum ("bnsc,sco->bno") was tried between the two: XLA
+    re-materialises the "free" row-split as the same relayout, so it
+    saves nothing in composition.
+
+    B == 1 — the widened formulation (reshape + per-piece lane-window
+    dots): the conv emitter packs batch into sublanes and has nothing to
+    pack at B=1, measured 3x slower there (0.28 vs 0.095 ms) — the same
+    dispatch rule as every other conv site (§3e).
+
+    Requires stride-1 same-length (2*padding == k-1), rho_in | rho_out,
+    and nblk_in % (rho_out/rho_in) == 0.
     """
     k, Cin, Cout = w.shape
     B, nblk_in, rc = xf.shape
@@ -672,16 +681,50 @@ def conv1d_folded_out_contract(xf: jnp.ndarray,
     assert 2 * padding == k - 1, "contracted tail requires same-length conv"
     stride = rho_out // rho_in
     assert nblk_in % stride == 0
+    if B == 1:
+        return _folded_out_contract_widened(xf, w, b, padding,
+                                            rho_in, rho_out)
+    pieces, W = build_wcontract(w, rho_out, 1)
+    # kernel row span in input-row units: piece (q, lo, hi) covers input
+    # rows q*stride + lo//rc .. q*stride + (hi-1)//rc
+    offs = [q * stride + s
+            for q, lo, hi in pieces
+            for s in range(lo // rc, (hi - 1) // rc + 1)]
+    rmin, rmax = min(offs), max(offs)
+    K = jnp.zeros((rmax - rmin + 1, rc, rho_out * Cout), W.dtype)
+    row = 0
+    for q, lo, hi in pieces:
+        g = lo
+        while g < hi:
+            s, l0 = divmod(g, rc)
+            l1 = min(rc, l0 + (hi - g))
+            K = K.at[q * stride + s - rmin, l0:l1, :].set(
+                W[row: row + l1 - l0])
+            row += l1 - l0
+            g += l1 - l0
+    x_, K_ = _staged(xf, K)
+    out = jax.lax.conv_general_dilated(
+        x_, K_, window_strides=(stride,),
+        padding=((-rmin, rmax - (stride - 1)),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32).astype(xf.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, rho_out)
+    return out
+
+
+def _folded_out_contract_widened(xf, w, b, padding, rho_in, rho_out):
+    """The widened formulation (physical widening reshape + per-piece
+    lane-window dots) — the B=1 path, where the conv emitter loses."""
+    k, Cin, Cout = w.shape
+    B, nblk_in, rc = xf.shape
+    stride = rho_out // rho_in
     nblk_out = nblk_in // stride
     x = xf.reshape(B, nblk_out, rho_out * Cin)
     pieces, W = build_wcontract(w, rho_out, 1)
     qmin = min(q for q, _, _ in pieces)
     qmax = max(q for q, _, _ in pieces)
     xp = jnp.pad(x, ((0, 0), (-qmin, qmax), (0, 0)))
-    # one dot per piece instead of a lane-concat + single dot: the dominant
-    # piece is the full un-shifted block (a zero-copy row slice, ~4k lanes);
-    # only the tiny edge windows are separate operands.  The concat
-    # materialised the whole ~4k-wide operand — ~1 ms of copies at B=8.
     out = None
     row = 0
     for q, lo, hi in pieces:
