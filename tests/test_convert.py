@@ -89,3 +89,85 @@ def test_full_circle_conversion(tmp_path, rng):
     wav = hifigan.vocode(params, cfg, jnp.asarray(melx))
     np.testing.assert_allclose(np.asarray(wav), ref_wav.numpy(),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_convert_cli_end_to_end(tmp_path):
+    """`python -m zerovox_tpu.utils.convert` on an upstream-layout
+    directory tree (modelcfg.yaml + checkpoints/*.ckpt + HiFi-GAN
+    checkpoint.pkl + stats.h5) produces a GGUF identical to the
+    library-call converter's output."""
+    import h5py
+    import yaml
+
+    from zerovox_tpu.utils import convert as conv_mod
+    from oracles.synthetic import upstream_state_dict
+
+    cfg = TINY_CONFIG
+    torch.manual_seed(11)
+    fs2 = torch_ref.TorchFS2Encoder(cfg).eval()
+    dec = torch_ref.TorchStyleTTSDecoder(cfg).eval()
+    voc = torch_ref.TorchHiFiGAN(cfg).eval()
+    with torch.no_grad():
+        voc.mean.normal_(0.0, 1.0)
+        voc.scale.uniform_(0.5, 2.0)
+
+    # upstream directory layout (zv2gguf.py:14-19, :64-92)
+    mdir = tmp_path / "model"
+    (mdir / "checkpoints").mkdir(parents=True)
+    ycfg = {
+        "model": {
+            "max_seq_len": cfg.max_seq_len,
+            "num_phonemes": cfg.num_phonemes,
+            "num_puncts": cfg.num_puncts,
+            "max_n_phonemes": cfg.max_n_phonemes,
+            "emb_dim": cfg.emb_dim,
+            "punct_emb_dim": cfg.punct_emb_dim,
+            "encoder": {"fs2_layer": cfg.encoder_layer,
+                        "fs2_head": cfg.encoder_head,
+                        "vp_filter_size": cfg.vp_filter_size,
+                        "vp_kernel_size": cfg.vp_kernel_size,
+                        "ve_n_bins": cfg.ve_n_bins},
+            "decoder": {"n_head": cfg.encoder_head,
+                        "conv_filter_size": cfg.conv_filter_size,
+                        "conv_kernel_size": list(cfg.conv_kernel_size)},
+        },
+        "audio": {"sampling_rate": cfg.sampling_rate,
+                  "num_mels": cfg.num_mels, "hop_size": cfg.hop_size},
+        # TINY uses a non-standard vocoder geometry; production checkpoints
+        # omit this section and get the reference's hardcoded constants
+        "hifigan": {"upsample_scales": list(cfg.upsample_scales),
+                    "upsample_kernel_sizes": list(cfg.upsample_kernel_sizes),
+                    "channels": cfg.hifigan_channels,
+                    "num_resblocks": cfg.num_resblocks,
+                    "residual_dim": cfg.residual_dim,
+                    "resblock_dilations": [list(d) for d
+                                           in cfg.resblock_dilations]},
+    }
+    (mdir / "modelcfg.yaml").write_text(yaml.safe_dump(ycfg))
+    torch.save({"state_dict": upstream_state_dict(fs2, dec)},
+               str(mdir / "checkpoints" / "epoch1.ckpt"))
+
+    hdir = tmp_path / "hifigan"
+    hdir.mkdir()
+    torch.save({"model": {"generator": meldec_state_dict(voc)}},
+               str(hdir / "checkpoint.pkl"))
+    with h5py.File(str(hdir / "stats.h5"), "w") as f:
+        f["mean"] = voc.mean.numpy()
+        f["scale"] = voc.scale.numpy()
+
+    out_cli = str(tmp_path / "cli.gguf")
+    assert conv_mod.main(["--model-dir", str(mdir),
+                          "--hifigan-dir", str(hdir),
+                          "--out", out_cli]) == 0
+
+    out_lib = str(tmp_path / "lib.gguf")
+    convert_checkpoint(out_lib, upstream_state_dict(fs2, dec), cfg,
+                       meldec_state_dict=meldec_state_dict(voc),
+                       hifigan_stats={"mean": voc.mean, "scale": voc.scale})
+
+    cfg_a, pa = load_params(out_cli)
+    cfg_b, pb = load_params(out_lib)
+    assert cfg_a.to_json() == cfg_b.to_json()
+    import jax
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -130,3 +130,133 @@ def convert_checkpoint(path_out: str, state_dict: Mapping, cfg: ZeroVoxConfig,
     tensors = convert_state_dict(state_dict, cfg, meldec_state_dict,
                                  hifigan_stats)
     write_gguf(path_out, tensors, cfg)
+
+
+# --------------------------------------------------------------------------
+# CLI: the runnable zv2gguf replacement (real flags instead of the
+# reference's hardcoded MODELPATH/HIFIGAN_PATH/OUT_MODEL_FN constants,
+# /root/reference/utils/zv2gguf.py:14-19)
+# --------------------------------------------------------------------------
+
+def config_from_model_yaml(cfg_dict: dict) -> ZeroVoxConfig:
+    """Map the upstream modelcfg.yaml structure onto ZeroVoxConfig (the
+    same keys zv2gguf.py reads at :117-139).
+
+    The vocoder/decoder architecture constants the reference hardcodes in
+    C++ (upsample scales {5,5,4,3}, resblock dilations, residual_dim —
+    src/zerovox.cpp:119-134) default to those values; a non-standard
+    geometry may override them via an optional `hifigan:` yaml section
+    (upsample_scales / upsample_kernel_sizes / channels / num_resblocks /
+    resblock_dilations / residual_dim)."""
+    m = cfg_dict["model"]
+    enc, dec, audio = m["encoder"], m["decoder"], cfg_dict["audio"]
+    extra = {}
+    h = cfg_dict.get("hifigan", {})
+    for yaml_key, field in (("upsample_scales", "upsample_scales"),
+                            ("upsample_kernel_sizes", "upsample_kernel_sizes"),
+                            ("channels", "hifigan_channels"),
+                            ("num_resblocks", "num_resblocks"),
+                            ("residual_dim", "residual_dim")):
+        if yaml_key in h:
+            v = h[yaml_key]
+            extra[field] = tuple(v) if isinstance(v, (list, tuple)) else int(v)
+    if "resblock_dilations" in h:
+        extra["resblock_dilations"] = tuple(
+            tuple(d) for d in h["resblock_dilations"])
+    # text-front-end sizes are compile-time constants in the reference
+    # (NUM_PHONEMES/NUM_PUNCTS/MAX_N_PHONEMES, src/zerovox.h:35-37);
+    # honor them if the yaml carries them, default to the reference's
+    for k in ("num_phonemes", "num_puncts", "max_n_phonemes"):
+        if k in m:
+            extra[k] = int(m[k])
+    return ZeroVoxConfig(
+        **extra,
+        max_seq_len=int(m["max_seq_len"]),
+        emb_dim=int(m["emb_dim"]),
+        punct_emb_dim=int(m["punct_emb_dim"]),
+        encoder_layer=int(enc["fs2_layer"]),
+        encoder_head=int(enc["fs2_head"]),
+        vp_filter_size=int(enc["vp_filter_size"]),
+        vp_kernel_size=int(enc["vp_kernel_size"]),
+        ve_n_bins=int(enc["ve_n_bins"]),
+        conv_filter_size=int(dec["conv_filter_size"]),
+        conv_kernel_size=(int(dec["conv_kernel_size"][0]),
+                          int(dec["conv_kernel_size"][1])),
+        sampling_rate=int(audio["sampling_rate"]),
+        num_mels=int(audio["num_mels"]),
+        hop_size=int(audio["hop_size"]),
+    )
+
+
+def main(argv=None) -> int:
+    """`python -m zerovox_tpu.utils.convert --model-dir D --hifigan-dir H
+    --out m.gguf` — load the upstream Lightning checkpoint (+ modelcfg.yaml),
+    graft the HiFi-GAN generator weights and mel stats, and write the GGUF
+    both this framework and the reference binary load."""
+    import argparse
+    import glob
+    import os
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="zerovox_tpu.utils.convert",
+        description="upstream zerovox checkpoint -> GGUF (zv2gguf)")
+    ap.add_argument("--model-dir",
+                    help="upstream model dir (modelcfg.yaml + checkpoints/*.ckpt)")
+    ap.add_argument("--ckpt", help="explicit .ckpt path (else newest in "
+                                   "<model-dir>/checkpoints/)")
+    ap.add_argument("--model-cfg", help="explicit modelcfg.yaml path")
+    ap.add_argument("--hifigan-dir",
+                    help="HiFi-GAN dir (checkpoint.pkl + stats.h5)")
+    ap.add_argument("--out", required=True, help="output GGUF path")
+    args = ap.parse_args(argv)
+
+    try:
+        import torch
+        import yaml
+    except ImportError as e:
+        ap.error(f"converter needs torch + pyyaml: {e}")
+
+    cfg_path = args.model_cfg or (args.model_dir and
+                                  os.path.join(args.model_dir, "modelcfg.yaml"))
+    if not cfg_path or not os.path.exists(cfg_path):
+        ap.error("need --model-cfg or --model-dir containing modelcfg.yaml")
+    with open(cfg_path) as f:
+        cfg = config_from_model_yaml(yaml.safe_load(f))
+
+    ckpt_path = args.ckpt
+    if not ckpt_path:
+        cands = glob.glob(os.path.join(args.model_dir or ".",
+                                       "checkpoints", "*.ckpt"))
+        if not cands:
+            ap.error("no .ckpt found; pass --ckpt")
+        ckpt_path = max(cands, key=os.path.getctime)   # newest, like zv2gguf
+    print(f"loading checkpoint {ckpt_path} ...", file=sys.stderr)
+    checkpoint = torch.load(ckpt_path, map_location="cpu",
+                            weights_only=False)
+    state_dict = checkpoint["state_dict"] if "state_dict" in checkpoint \
+        else checkpoint
+
+    meldec_sd, stats = None, None
+    if args.hifigan_dir:
+        pkl = os.path.join(args.hifigan_dir, "checkpoint.pkl")
+        print(f"loading HiFi-GAN {pkl} ...", file=sys.stderr)
+        hifigan = torch.load(pkl, map_location="cpu", weights_only=False)
+        meldec_sd = hifigan["model"]["generator"]
+        h5 = os.path.join(args.hifigan_dir, "stats.h5")
+        try:
+            import h5py
+            with h5py.File(h5, "r") as f:
+                stats = {"mean": f["mean"][:], "scale": f["scale"][:]}
+        except ImportError:
+            ap.error("reading stats.h5 needs h5py")
+
+    convert_checkpoint(args.out, state_dict, cfg,
+                       meldec_state_dict=meldec_sd, hifigan_stats=stats)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
