@@ -95,8 +95,9 @@ def floors(cfg, B):
     # ---- stage-4 upsample + regroup (conv.py grouped path) ----
     s = cfg.upsample_scales
     c0 = cfg.hifigan_channels if hasattr(cfg, "hifigan_channels") else 512
-    # channel ladder: 512->256->128->64->32 at scales 5,5,4,3
-    cin = c0 // (2 ** (len(s) - 1))* 2   # stage-4 input channels (64)
+    # channel ladder halves per upsample: 512->256->128->64->32; the LAST
+    # upsample consumes the next-to-last width (production: 64 -> 32)
+    cin = c0 // (2 ** (len(s) - 1))       # stage-4 input channels (64)
     cout = cin // 2                       # 32
     t_in = T * s[0] * s[1] * s[2]         # 150k at production
     k4 = 2 * s[3]

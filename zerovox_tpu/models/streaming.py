@@ -84,6 +84,10 @@ class StreamingSynthesizer:
         self.ahead = ahead
         self.devices = list(devices) if devices else None
         self._dev_params = {}            # device -> params replicated there
+        # separate from _cache_lock: weight replication (seconds through
+        # the tunnel) must not block other sessions' per-chunk program
+        # lookups, which take _cache_lock on every dispatch
+        self._dev_lock = threading.Lock()
         self._rr = itertools.count()
         # r1 forced the folded XLA path here (the roll-based pallas kernel's
         # per-call overhead dominated at short chunk L: 69.9 vs 90.3 ms TTFA);
@@ -140,19 +144,34 @@ class StreamingSynthesizer:
 
     def params_for(self, device):
         """Weights for `device`, replicated there on first use (cached;
-        cache dropped by set_params on a hot-reload)."""
+        cache dropped by set_params on a hot-reload).
+
+        The device_put runs OUTSIDE the lock: replication moves the whole
+        weight tree (seconds through the tunnel) and holding a lock for it
+        would convoy every concurrent session behind one replication.  Two
+        sessions racing on the same fresh device may both replicate; the
+        first stored copy wins and the loser's transfer is garbage."""
         if device is None:
             return self.params
-        with self._cache_lock:
-            if device not in self._dev_params:
-                self._dev_params[device] = jax.device_put(self.params, device)
-            return self._dev_params[device]
+        with self._dev_lock:
+            p = self._dev_params.get(device)
+            src = self.params
+        if p is not None:
+            return p
+        rep = jax.device_put(src, device)
+        with self._dev_lock:
+            if self.params is not src:
+                # a hot-reload swapped weights mid-replication: don't cache
+                # the stale copy; this session finishes on it (documented
+                # reload semantics), the next one replicates the new tree
+                return rep
+            return self._dev_params.setdefault(device, rep)
 
     def set_params(self, params):
         """Hot-swap weights (same geometry): replaces the host tree and
         invalidates every per-device replica; in-flight sessions keep
         their old replica and finish consistently."""
-        with self._cache_lock:
+        with self._dev_lock:
             self.params = params
             self._dev_params = {}
 

@@ -111,8 +111,8 @@ class PipelinedTTS:
         return wav, mel_len
 
     def run_iter(self, batches: Iterable[Tuple]
-                 ) -> Iterator[Tuple[jax.Array, jax.Array]]:
-        """Stream (wav, mel_len) results in input order.
+                 ) -> Iterator[Tuple["np.ndarray", "np.ndarray"]]:
+        """Stream HOST (wav, mel_len) numpy results in input order.
 
         At most `max_in_flight` utterances are staged on the devices at
         once: utterance k+max_in_flight is dispatched only after
@@ -128,7 +128,9 @@ class PipelinedTTS:
         while pending:
             yield jax.device_get(pending.popleft())
 
-    def run(self, batches: Iterable[Tuple]) -> List[Tuple[jax.Array, jax.Array]]:
+    def run(self, batches: Iterable[Tuple]
+            ) -> List[Tuple["np.ndarray", "np.ndarray"]]:
         """Process [(src, puncts, style, num_phonemes), ...] -> list of
-        (wav, mel_len) in input order (run_iter collected)."""
+        HOST (wav, mel_len) numpy pairs in input order (run_iter
+        collected — fully synchronous: every result is fetched)."""
         return list(self.run_iter(batches))

@@ -202,10 +202,17 @@ class RefStages:
         self._proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
-        status, reason = _recv(self._proc.stdout)
-        if status != "ok":
-            raise RuntimeError(f"stage worker failed to build/load: {reason}")
-        self._call("load", (gguf_path, _geom_from_cfg(cfg)))
+        try:
+            status, reason = _recv(self._proc.stdout)
+            if status != "ok":
+                raise RuntimeError(
+                    f"stage worker failed to build/load: {reason}")
+            self._call("load", (gguf_path, _geom_from_cfg(cfg)))
+        except BaseException:
+            # don't leak a worker blocked in its stdin loop when init fails
+            self._proc.kill()
+            self._proc.wait(timeout=10)
+            raise
 
     def _call(self, op, args=()):
         _send(self._proc.stdin, (op, args))

@@ -25,11 +25,15 @@ extern void *__libc_malloc(size_t n);
 extern void *__libc_realloc(void *p, size_t n);
 extern void *__libc_memalign(size_t align, size_t n);
 
+/* Zero the chunk's FULL usable size, not just the request: realloc
+ * growth that stays within the old chunk's slack skips its memset (the
+ * n > old test below uses usable size), so bytes in [request, usable)
+ * must already be zero-born or they leak through that path dirty. */
 void *malloc(size_t n)
 {
     void *p = __libc_malloc(n);
     if (p)
-        memset(p, 0, n);
+        memset(p, 0, malloc_usable_size(p));
     return p;
 }
 
@@ -37,8 +41,8 @@ void *realloc(void *q, size_t n)
 {
     size_t old = q ? malloc_usable_size(q) : 0;
     void *p = __libc_realloc(q, n);
-    if (p && n > old)
-        memset((char *) p + old, 0, n - old);
+    if (p && malloc_usable_size(p) > old)
+        memset((char *) p + old, 0, malloc_usable_size(p) - old);
     return p;
 }
 
@@ -46,7 +50,7 @@ void *memalign(size_t align, size_t n)
 {
     void *p = __libc_memalign(align, n);
     if (p)
-        memset(p, 0, n);
+        memset(p, 0, malloc_usable_size(p));
     return p;
 }
 
@@ -60,7 +64,7 @@ int posix_memalign(void **res, size_t align, size_t n)
     void *p = __libc_memalign(align, n);
     if (!p)
         return ENOMEM;
-    memset(p, 0, n);
+    memset(p, 0, malloc_usable_size(p));
     *res = p;
     return 0;
 }

@@ -232,24 +232,38 @@ def main(argv=None) -> int:
             ap.error("no .ckpt found; pass --ckpt")
         ckpt_path = max(cands, key=os.path.getctime)   # newest, like zv2gguf
     print(f"loading checkpoint {ckpt_path} ...", file=sys.stderr)
-    checkpoint = torch.load(ckpt_path, map_location="cpu",
-                            weights_only=False)
+    try:
+        checkpoint = torch.load(ckpt_path, map_location="cpu",
+                                weights_only=False)
+    except (OSError, RuntimeError, EOFError) as e:
+        ap.error(f"cannot load checkpoint {ckpt_path}: {e}")
     state_dict = checkpoint["state_dict"] if "state_dict" in checkpoint \
         else checkpoint
 
     meldec_sd, stats = None, None
     if args.hifigan_dir:
         pkl = os.path.join(args.hifigan_dir, "checkpoint.pkl")
-        print(f"loading HiFi-GAN {pkl} ...", file=sys.stderr)
-        hifigan = torch.load(pkl, map_location="cpu", weights_only=False)
-        meldec_sd = hifigan["model"]["generator"]
         h5 = os.path.join(args.hifigan_dir, "stats.h5")
+        # fail on the FAST missing file before the slow torch.load
+        for f in (pkl, h5):
+            if not os.path.exists(f):
+                ap.error(f"missing {f} (the HiFi-GAN dir needs "
+                         "checkpoint.pkl + stats.h5)")
+        print(f"loading HiFi-GAN {pkl} ...", file=sys.stderr)
+        try:
+            hifigan = torch.load(pkl, map_location="cpu", weights_only=False)
+            meldec_sd = hifigan["model"]["generator"]
+        except (OSError, RuntimeError, EOFError, KeyError) as e:
+            ap.error(f"cannot load {pkl}: {e}")
         try:
             import h5py
-            with h5py.File(h5, "r") as f:
-                stats = {"mean": f["mean"][:], "scale": f["scale"][:]}
         except ImportError:
             ap.error("reading stats.h5 needs h5py")
+        try:
+            with h5py.File(h5, "r") as f:
+                stats = {"mean": f["mean"][:], "scale": f["scale"][:]}
+        except (OSError, KeyError) as e:
+            ap.error(f"cannot read {h5}: {e}")
 
     convert_checkpoint(args.out, state_dict, cfg,
                        meldec_state_dict=meldec_sd, hifigan_stats=stats)

@@ -133,14 +133,19 @@ def verify_checkpoint(gguf_path: str, seed: int = 7,
         clean = np.ones(cfg.max_seq_len, dtype=bool)
         clean[:len(frame_phoneme)] = margin_ok[frame_phoneme]
         n_masked = int((~clean).sum())
-        err = float(np.abs(h[clean] - ref_x[clean]).max()) if clean.any() else 0.0
-        tol = 5e-4 + 1e-3 * np.abs(ref_x[clean]).max()
+        if clean.any():
+            err = float(np.abs(h[clean] - ref_x[clean]).max())
+            tol = float(5e-4 + 1e-3 * np.abs(ref_x[clean]).max())
+        else:   # every frame margin-masked: nothing comparable this seed
+            err, tol = 0.0, float("inf")
+        note = f"mel_len {int(total[0])} vs {ref_len}"
+        if n_masked:
+            note += (f"; {n_masked} rounding-margin frames masked — a FAIL"
+                     " here can be margin-flip sensitivity, retry with a"
+                     " different --verify-seed")
         diffs.append(BoundaryDiff(
-            "encoder (hidden, mel_len)", err, float(tol),
-            ok=len_ok and err <= tol,
-            note=(f"mel_len {int(total[0])} vs {ref_len}"
-                  + (f"; {n_masked} rounding-margin frames masked"
-                     if n_masked else ""))))
+            "encoder (hidden, mel_len)", err, tol,
+            ok=len_ok and err <= tol, note=note))
         log(f"verify: encoder boundary done ({time.perf_counter()-t0:.1f}s)")
 
         # ---- boundary 2: StyleTTSDecoder::eval on the REF hidden ----
