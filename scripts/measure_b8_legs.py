@@ -34,15 +34,49 @@ MXU_BF16 = 197e12          # v5e peak bf16 FLOP/s
 HBM_BW = 820e9             # v5e HBM bytes/s
 
 
+def _conv_line_legs():
+    """conv.py line-range -> leg map built from the LIVE function objects
+    (inspect.getsourcelines), so the classification survives edits instead
+    of string-matching op names that don't carry the function."""
+    import inspect
+
+    from zerovox_tpu.ops import conv as C
+    legs = {}
+    for fn, leg in (
+            (C.conv_transpose1d_grouped, "stage4-upsample"),
+            (getattr(C, "conv_transpose1d_polyphase", None), "stage4-upsample"),
+            (C.conv1d_folded_out_contract, "tail-conv"),
+            (getattr(C, "_folded_out_contract_widened", None), "tail-conv"),
+            (getattr(C, "build_wcontract", None), "tail-conv"),
+            (getattr(C, "build_wtranspose_grouped", None), "stage4-upsample"),
+    ):
+        if fn is None:
+            continue
+        lines, start = inspect.getsourcelines(fn)
+        legs[leg] = legs.get(leg, []) + [range(start, start + len(lines))]
+    return legs
+
+
+_CONV_LEGS = None
+
+
 def classify(site: str) -> str:
     """Map an HLO source attribution (file:line op_name) to a leg."""
+    global _CONV_LEGS
     s = site.lower()
     if "folded_mrf" in s:
         return "mrf-kernels"
     if "styletts_decoder" in s or "norm.py" in s:
         return "decoder"
-    if "conv.py" in s and ("transpose" in s or "grouped" in s):
-        return "stage4-upsample"
+    if "conv.py" in s:
+        if _CONV_LEGS is None:
+            _CONV_LEGS = _conv_line_legs()
+        m = re.search(r"conv\.py:(\d+)", s)
+        if m:
+            ln = int(m.group(1))
+            for leg, ranges in _CONV_LEGS.items():
+                if any(ln in r for r in ranges):
+                    return leg
     if "hifigan" in s:
         return "vocoder-glue"           # input conv, tail, mel-norm, biases
     if ("fs2_encoder" in s or "attention" in s or "length_regulator" in s
@@ -107,6 +141,15 @@ def floors(cfg, B):
     out["stage4-upsample"] = (
         mxu(up_flops), hbm(regroup_bytes + 2 * B * t_in * cin * 2),
         f"{up_flops/1e9:.0f} GFLOP + regroup {regroup_bytes/1e6:.0f} MB")
+
+    # ---- tail conv (k=7 output conv on the rho_in-folded rows) ----
+    cin_t = c0 // (2 ** len(s))           # 32 at production
+    samples = T * s[0] * s[1] * s[2] * s[3]
+    tail_flops = B * samples * 7 * cin_t * 2
+    tail_bytes = 2 * B * samples * cin_t * 2   # read act + ~write out
+    out["tail-conv"] = (mxu(tail_flops), hbm(tail_bytes),
+                        f"{tail_flops/1e9:.0f} GFLOP, "
+                        f"{tail_bytes/1e6:.0f} MB r+w")
 
     # ---- front (fs2_encoder + LR) ----
     L = cfg.encoder_layer
@@ -195,6 +238,18 @@ def main():
         if args.detail:
             for site, sms in sorted(sites[leg].items(), key=lambda kv: -kv[1])[:12]:
                 print(f"        {sms:7.3f} ms  {site[:100]}")
+    # the shared conv1d/linear dispatch sites (conv.py generic paths)
+    # aggregate decoder convs + encoder FFN + input conv + 1x1 dots into
+    # "other"; compare their SUM against the combined dense floor
+    dec_f = fl["decoder"][0]
+    fr_f = fl["front+LR"][0]
+    agg = legs.get("other", 0.0) + legs.get("decoder", 0.0)
+    comb = dec_f + fr_f
+    if agg:
+        print(f"  note: 'other'+'decoder' = {agg:.3f} ms carries the shared "
+              f"conv/dot dispatch sites;\n        combined dense-FLOP floor "
+              f"(decoder {dec_f:.2f} + front {fr_f:.2f}) = {comb:.3f} ms "
+              f"-> {100*comb/agg:.0f}% of floor")
 
 
 if __name__ == "__main__":
